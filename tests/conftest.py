@@ -1,0 +1,18 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh.
+
+Mirrors the reference's single-host multi-process DDP testing surface
+(SURVEY.md §4): multi-chip sharding is validated on virtual CPU devices via
+``--xla_force_host_platform_device_count``.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
