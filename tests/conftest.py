@@ -8,11 +8,18 @@ Mirrors the reference's single-host multi-process DDP testing surface
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The session's sitecustomize pre-imports jax and registers the 'axon' TPU
+# tunnel backend, overriding JAX_PLATFORMS — force the platform back to
+# local CPU devices via config (env vars alone are read too early).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,113 @@
+"""Data pipeline: synthetic store round-trip, collate buckets, sampler shards."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from videocad_tpu.data import (
+    DataPipeline,
+    ShardedSampler,
+    VideoCADDataset,
+    bucket_length,
+    collate,
+    load_split_ids,
+    write_synthetic_dataset,
+)
+from videocad_tpu.ops.preprocess import grayscale_normalize
+
+
+@pytest.fixture(scope="module")
+def tiny_store(tmp_path_factory):
+    root = tmp_path_factory.mktemp("store")
+    split_path = os.path.join(root, "dataset_split.json")
+    split_map = write_synthetic_dataset(
+        str(root), num_sequences=6, min_len=5, max_len=9, image_size=16,
+        split_path=split_path)
+    return str(root), split_path, split_map
+
+
+def test_split_and_scan(tiny_store):
+    root, split_path, split_map = tiny_store
+    splits = load_split_ids(split_path)
+    assert set(splits) <= {"train", "val", "test"}
+    ds = VideoCADDataset(root, ids=splits["train"])
+    assert len(ds) == len(splits["train"])
+
+
+def test_dataset_item_contract(tiny_store):
+    root, split_path, _ = tiny_store
+    ds = VideoCADDataset(root)
+    item = ds[0]
+    t = item["frames"].shape[0]
+    assert item["frames"].dtype == np.uint8
+    assert item["frames"].shape[1:] == (16, 16, 3)
+    assert item["actions"].shape == (t, 7)
+    assert item["cad_image"].shape == (16, 16, 3)
+    ds.validate([0, 1])
+
+
+def test_random_view_augmentation(tiny_store):
+    root, _, _ = tiny_store
+    ds = VideoCADDataset(root, enable_random=True, seed=1)
+    paths = {ds.image_loader.get_path(ds.sequence_id(0)) for _ in range(20)}
+    assert len(paths) == 2  # both views selected over repeats
+    fixed = VideoCADDataset(root, enable_random=False)
+    assert fixed.image_loader.get_path(fixed.sequence_id(0)).endswith("_0.png")
+
+
+def test_bucket_lengths():
+    assert bucket_length(5, (8, 16)) == 8
+    assert bucket_length(9, (8, 16)) == 16
+    with pytest.raises(ValueError):
+        bucket_length(99, (8, 16))
+
+
+def test_collate_padding_semantics(tiny_store):
+    root, _, _ = tiny_store
+    ds = VideoCADDataset(root)
+    batch = collate([ds[0], ds[1]], buckets=(16,))
+    assert batch["frames"].shape[1] == 16
+    assert batch["actions"].shape[1:] == (16, 7)
+    # padded action rows are all -1; timesteps regenerated as arange
+    lengths = [ds[0]["actions"].shape[0], ds[1]["actions"].shape[0]]
+    for i, n in enumerate(lengths):
+        assert (batch["actions"][i, n:] == -1).all()
+    np.testing.assert_array_equal(batch["timesteps"][0], np.arange(16))
+
+
+def test_sharded_sampler_partitions_and_reshuffles():
+    s0 = ShardedSampler(20, batch_size=2, host_id=0, num_hosts=2)
+    s1 = ShardedSampler(20, batch_size=2, host_id=1, num_hosts=2)
+    e0 = np.concatenate(list(s0.epoch_batches(0)))
+    e1 = np.concatenate(list(s1.epoch_batches(0)))
+    assert len(set(e0) & set(e1)) == 0
+    assert len(set(e0) | set(e1)) == 20
+    other = np.concatenate(list(s0.epoch_batches(1)))
+    assert not np.array_equal(e0, other)  # epoch changes the permutation
+
+
+def test_pipeline_yields_padded_batches(tiny_store):
+    root, _, _ = tiny_store
+    ds = VideoCADDataset(root)
+    pipe = DataPipeline(ds, batch_size=2, buckets=(16,), seed=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == len(pipe) == 3
+    for b in batches:
+        assert b["frames"].shape == (2, 16, 16, 16, 3)
+        assert b["actions"].dtype == np.float32
+
+
+def test_grayscale_normalize_matches_reference_math():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    out = np.asarray(grayscale_normalize(img))
+    w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    expected = (img.astype(np.float32) @ w)[..., None] / 127.5 - 1.0
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+    assert out.shape == (2, 4, 4, 1)
+    # BGR-as-RGB quirk reverses the weights
+    out_bgr = np.asarray(grayscale_normalize(img, bgr_as_rgb=True))
+    expected_bgr = (img.astype(np.float32) @ w[::-1])[..., None] / 127.5 - 1.0
+    np.testing.assert_allclose(out_bgr, expected_bgr, atol=1e-5)

@@ -1,0 +1,135 @@
+"""Host input pipeline: sharded sampling, background prefetch, device feed.
+
+Replaces the reference's DataLoader workers + DistributedSampler +
+pin_memory H2D path (/root/reference/data_loader/data_loader.py:100-198)
+with a TPU-shaped design:
+
+  * deterministic per-epoch shuffling with per-host sharding (each process
+    reads only its slice — the DistributedSampler equivalent);
+  * a background thread assembles padded uint8 batches (bytes stay small:
+    channels stay uint8 until the device);
+  * double-buffered ``jax.device_put`` onto the mesh so step N+1's transfer
+    overlaps step N's compute;
+  * on-device fused preprocessing (grayscale+normalize) happens inside the
+    jitted step via videocad_tpu.ops.preprocess.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from videocad_tpu.data.collate import DEFAULT_BUCKETS, collate
+from videocad_tpu.data.dataset import VideoCADDataset
+
+
+class ShardedSampler:
+    """Deterministic epoch shuffling + contiguous per-host shard + drop_last."""
+
+    def __init__(self, num_items: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 42, host_id: int = 0, num_hosts: int = 1):
+        self.num_items = num_items
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+
+    def epoch_batches(self, epoch: int):
+        order = np.arange(self.num_items)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(order)
+        per_host = self.num_items // self.num_hosts
+        shard = order[self.host_id * per_host:(self.host_id + 1) * per_host]
+        n_batches = len(shard) // self.batch_size  # drop_last=True
+        for b in range(n_batches):
+            yield shard[b * self.batch_size:(b + 1) * self.batch_size]
+
+    def num_batches(self) -> int:
+        return (self.num_items // self.num_hosts) // self.batch_size
+
+
+class DataPipeline:
+    """Iterable over padded numpy batches with background prefetch."""
+
+    def __init__(self, dataset: VideoCADDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 42,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 fixed_length: Optional[int] = None,
+                 prefetch: int = 2, host_id: int = 0, num_hosts: int = 1):
+        self.dataset = dataset
+        self.sampler = ShardedSampler(len(dataset), batch_size, shuffle,
+                                      seed, host_id, num_hosts)
+        self.buckets = buckets
+        self.fixed_length = fixed_length
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return self.sampler.num_batches()
+
+    def _assemble(self, indices) -> Dict[str, np.ndarray]:
+        return collate([self.dataset[int(i)] for i in indices],
+                       self.buckets, self.fixed_length)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this epoch's batches, assembled ahead by a worker thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for indices in self.sampler.epoch_batches(epoch):
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(indices))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join(timeout=1.0)
+
+
+def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], mesh=None,
+                    size: int = 2) -> Iterator[Dict]:
+    """Keep ``size`` batches in flight on device (transfer/compute overlap).
+
+    Strings ('ids') stay on host. With a mesh, arrays shard along 'data'.
+    """
+    import jax
+    from videocad_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = (jax.device_put(v, sharding) if sharding is not None
+                          else jax.device_put(v))
+            else:
+                out[k] = v
+        return out
+
+    buf = []
+    for batch in batches:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

@@ -1,0 +1,207 @@
+"""Autoregressive rollout: KV-cached `lax.scan` decode over the 186-step horizon.
+
+Replaces the reference ``sequential_inference``
+(/root/reference/model/autoregressive_transformer.py:222-274), which re-runs
+a full forward over the growing prefix every step — O(T²) forward passes,
+each re-encoding all T frames. Here:
+
+  * ground-truth frames are encoded ONCE (they are inputs to the rollout,
+    exactly as in the reference, which slices ``ui_images[:, :t+1]``);
+  * cross-attention K/V over the (frame+CAD) memory are projected once per
+    layer;
+  * the per-step decode is a pure-JAX KV-cached transformer step inside
+    ``lax.scan`` — O(T) steps of O(T) attention, no Python in the loop;
+  * predicted actions are argmax-decoded, masked per command
+    (apply_action_mask), normalized, and fed back — bit-matching the
+    reference's decode rule.
+
+Because the model is strictly causal (causal self-attention, banded
+causal memory mask, per-position embeddings), incremental decode is
+mathematically identical to the reference's prefix re-forwarding; the
+equivalence is asserted in tests/test_rollout.py.
+
+The decode math runs directly on the parameter pytree (Dense/LayerNorm are
+two-line ops) — keeping flax's module machinery out of the scan body gives
+XLA one flat jaxpr to fuse.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videocad_tpu.actions.ops import apply_action_mask, normalize_actions
+from videocad_tpu.actions.vocab import ACT_DIM
+from videocad_tpu.models.videocadformer import VideoCADFormer
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _layernorm(p, x, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _heads_split(x, num_heads):
+    b, inner = x.shape
+    return x.reshape(b, num_heads, inner // num_heads)
+
+
+def _masked_attend(q, k, v, mask):
+    """q: (B,H,D); k,v: (B,S,H,D); mask: (S,) bool. -> (B, H*D)."""
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhd,bshd->bhs", q, k) / jnp.sqrt(
+        jnp.asarray(depth, q.dtype))
+    scores = jnp.where(mask[None, None, :], scores, jnp.finfo(scores.dtype).min)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhs,bshd->bhd", weights, v)
+    b = q.shape[0]
+    return ctx.reshape(b, -1)
+
+
+def precompute_memory_kv(params: Dict, memory: jnp.ndarray, num_layers: int,
+                         num_heads: int):
+    """Project cross-attention K/V for every layer once: [(B,S,H,D)] x L."""
+    mem_kv = []
+    for i in range(num_layers):
+        layer = params["decoder"][f"layers_{i}"]["cross_attn"]
+        k = _dense(layer["key"], memory)
+        v = _dense(layer["value"], memory)
+        b, s, inner = k.shape
+        mem_kv.append((k.reshape(b, s, num_heads, inner // num_heads),
+                       v.reshape(b, s, num_heads, inner // num_heads)))
+    return mem_kv
+
+
+def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
+                self_kv: Tuple, mem_kv, window: int, seq_len: int):
+    """One decoder-stack step at position ``t``.
+
+    x: (B, hidden) target embedding for this step; self_kv: per-layer
+    (k,v) caches (B, T, H, D); returns (hidden_out, new_self_kv).
+    """
+    num_heads = cfg.nhead
+    positions = jnp.arange(seq_len)
+    self_mask = positions <= t
+    mem_mask = (positions > t - window) & (positions <= t)
+
+    new_kv = []
+    for i in range(cfg.num_decoder_layers):
+        layer = params["decoder"][f"layers_{i}"]
+        sa, ca = layer["self_attn"], layer["cross_attn"]
+
+        q = _heads_split(_dense(sa["query"], x), num_heads)
+        k_t = _heads_split(_dense(sa["key"], x), num_heads)
+        v_t = _heads_split(_dense(sa["value"], x), num_heads)
+        k_cache, v_cache = self_kv[i]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_t[:, None], (0, t, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_t[:, None], (0, t, 0, 0))
+        new_kv.append((k_cache, v_cache))
+
+        ctx = _masked_attend(q, k_cache, v_cache, self_mask)
+        x = _layernorm(layer["norm1"], x + _dense(sa["out"], ctx))
+
+        qc = _heads_split(_dense(ca["query"], x), num_heads)
+        mem_k, mem_v = mem_kv[i]
+        ctx = _masked_attend(qc, mem_k, mem_v, mem_mask)
+        x = _layernorm(layer["norm2"], x + _dense(ca["out"], ctx))
+
+        h = jax.nn.relu(_dense(layer["linear1"], x))
+        x = _layernorm(layer["norm3"], x + _dense(layer["linear2"], h))
+    return x, new_kv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
+                 use_actions: bool, seq_len: int,
+                 multiview_images=None):
+    cfg = model.config
+    dtype = cfg.compute_dtype
+
+    # Encode frames + CAD (+ views) once — the O(T^2) frame re-encode in the
+    # reference collapses to this single pass.
+    memory, ui_emb = model.apply(
+        {"params": params},
+        cad_image, frames, multiview_images, seq_len, True,
+        method=VideoCADFormer.encode_context)
+
+    if not cfg.enable_past_actions:
+        # Without action feedback the rollout has no sequential dependency:
+        # the banded-causal decoder's last-position outputs over prefixes
+        # equal the full forward's positions (tested). One pass suffices.
+        inputs = {"frames": frames, "cad_image": cad_image,
+                  "actions": jnp.zeros((frames.shape[0], seq_len, ACT_DIM),
+                                       jnp.float32)}
+        if multiview_images is not None:
+            inputs["multiview_images"] = multiview_images
+        return model.apply({"params": params}, inputs, deterministic=True)
+
+    mem_kv = precompute_memory_kv(params, memory, cfg.num_decoder_layers,
+                                  cfg.nhead)
+
+    b = frames.shape[0]
+    hd = cfg.hidden_size // cfg.nhead
+    init_kv = [
+        (jnp.zeros((b, seq_len, cfg.nhead, hd), dtype),
+         jnp.zeros((b, seq_len, cfg.nhead, hd), dtype))
+        for _ in range(cfg.num_decoder_layers)
+    ]
+
+    if cfg.enable_timestep_embedding:
+        ts_emb = params["timestep_embedding"]["embedding"][:seq_len]
+    else:
+        ts_emb = jnp.zeros((seq_len, cfg.hidden_size), dtype)
+
+    embed_action_p = params["embed_action"]
+    head_cmd_p, head_params_p = params["predict_cmd"], params["predict_params"]
+
+    def step(carry, t):
+        action, self_kv = carry
+        x = jnp.tanh(_dense(embed_action_p, action.astype(dtype)) + ts_emb[t])
+        hidden, self_kv = decode_step(params, cfg, x, t, self_kv, mem_kv,
+                                      cfg.window_size, seq_len)
+        hidden = hidden.astype(jnp.float32)
+        cmd_logits = _dense(head_cmd_p, hidden)
+        param_logits = _dense(head_params_p, hidden).reshape(
+            b, cfg.num_params, cfg.num_params_values)
+
+        cmd_pred = jnp.argmax(cmd_logits, axis=-1)
+        param_pred = jnp.argmax(param_logits, axis=-1)
+        masked = apply_action_mask(cmd_pred, param_pred)
+        next_action = jnp.concatenate(
+            [cmd_pred[:, None], masked], axis=-1).astype(jnp.float32)
+        next_action = normalize_actions(next_action)
+        if not use_actions:
+            next_action = jnp.zeros_like(next_action)
+        return (next_action, self_kv), (cmd_logits, param_logits)
+
+    init_action = jnp.zeros((b, ACT_DIM), jnp.float32)
+    (_, _), (cmds, param_logits) = jax.lax.scan(
+        step, (init_action, init_kv), jnp.arange(seq_len))
+    # scan stacks on axis 0 (time): (T, B, ...) -> (B, T, ...)
+    return (jnp.transpose(cmds, (1, 0, 2)),
+            jnp.transpose(param_logits, (1, 0, 2, 3)))
+
+
+def sequential_inference(model: VideoCADFormer, params: Dict,
+                         frames: jnp.ndarray, cad_image: jnp.ndarray,
+                         action: bool = True,
+                         multiview_images: Optional[jnp.ndarray] = None):
+    """Step-by-step rollout; reference API
+    (autoregressive_transformer.py:222).
+
+    frames: (B, T, H, W, C) ground-truth UI frames; returns
+    ((B, T, 5) cmd logits, (B, T, 6, 1000) param logits) — each step's
+    last-position logits, exactly the reference's stacked outputs.
+    """
+    seq_len = frames.shape[1]
+    return _rollout_jit(model, params, frames, cad_image, action, seq_len,
+                        multiview_images)

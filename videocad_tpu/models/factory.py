@@ -1,0 +1,60 @@
+"""Model factory: named JSON configs -> model + initialized params.
+
+Preserves the reference's public config surface (model_configs/*.json —
+SURVEY.md §2 config table): every named experiment config instantiates
+VideoCADFormer regardless of its ``model_name`` field, matching the
+reference factory's behavior (/root/reference/model/model_factory.py:22,
+quirk 1).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videocad_tpu.models.videocadformer import (
+    VideoCADFormer,
+    VideoCADFormerConfig,
+)
+
+
+def create_model(model_config: Dict[str, Any]) -> VideoCADFormer:
+    """Build the model from a config dict (reference JSON schema accepted)."""
+    cfg = VideoCADFormerConfig.from_json(model_config)
+    return VideoCADFormer(cfg)
+
+
+def load_named_config(config_path: str, name: str) -> Dict[str, Any]:
+    with open(config_path) as f:
+        configs = json.load(f)
+    if name not in configs:
+        raise KeyError(f"Config '{name}' not in {config_path}; "
+                       f"available: {sorted(configs)}")
+    return configs[name]
+
+
+def example_inputs(cfg: VideoCADFormerConfig, batch: int = 1,
+                   seq_len: int = 4) -> Dict[str, jnp.ndarray]:
+    """A zero batch with the model's input contract (NHWC frames)."""
+    h = w = cfg.image_size
+    c = cfg.image_channels
+    inputs = {
+        "frames": jnp.zeros((batch, seq_len, h, w, c), jnp.float32),
+        "actions": jnp.zeros((batch, seq_len, cfg.act_dim), jnp.float32),
+        "cad_image": jnp.zeros((batch, h, w, c), jnp.float32),
+        "timesteps": jnp.tile(jnp.arange(seq_len)[None], (batch, 1)),
+    }
+    if cfg.num_views > 0:
+        inputs["multiview_images"] = jnp.zeros(
+            (batch, cfg.num_views, h, w, c), jnp.float32)
+    return inputs
+
+
+def init_model(model: VideoCADFormer, rng: jax.Array,
+               batch: int = 1, seq_len: int = 4):
+    """Initialize parameters with a dummy batch."""
+    inputs = example_inputs(model.config, batch, seq_len)
+    return model.init({"params": rng}, inputs, deterministic=True)["params"]

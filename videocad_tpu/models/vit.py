@@ -1,0 +1,97 @@
+"""Vision Transformer encoder for UI frames and CAD images.
+
+Architecturally matches the reference's vit_pytorch ViT configuration
+(/root/reference/model/trajectory_model.py:53-67): image 224, patch 32,
+dim 512, depth 6, heads 16 (head dim 64), mlp 512, single channel, dropout
+0.1, CLS pooling with the classification head stripped -> a 512-d embedding.
+
+Pre-LN blocks with a final LayerNorm; patch embedding is
+LayerNorm -> Dense -> LayerNorm over flattened NHWC patches. Patch
+extraction is a reshape/transpose (no conv), which XLA lowers to a single
+layout change feeding one big MXU matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from videocad_tpu.models.layers import MultiHeadAttention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    dim: int = 512
+    depth: int = 6
+    heads: int = 16
+    head_dim: int = 64
+    mlp_dim: int = 512
+    channels: int = 1
+    dropout: float = 0.1
+    emb_dropout: float = 0.1
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+        h = MultiHeadAttention(
+            model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
+            dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
+            attention_impl=self.attention_impl, name="attn",
+        )(h, h, deterministic=deterministic)
+        x = x + nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="mlp_norm")(x)
+        h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.dim, dtype=self.dtype, name="mlp_out")(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class ViT(nn.Module):
+    """ViT encoder: (B, H, W, C) image -> (B, dim) CLS embedding."""
+
+    config: ViTConfig = ViTConfig()
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, images, deterministic=True):
+        cfg = self.config
+        b, h, w, c = images.shape
+        p = cfg.patch_size
+        gh, gw = h // p, w // p
+        # (B, gh, p, gw, p, C) -> (B, gh*gw, p*p*C)
+        x = images.astype(self.dtype).reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm_in")(x)
+        x = nn.Dense(cfg.dim, dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm_out")(x)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, cfg.dim), jnp.float32)
+        x = jnp.concatenate([jnp.tile(cls.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, cfg.dim), jnp.float32)
+        x = x + pos.astype(self.dtype)
+        x = nn.Dropout(cfg.emb_dropout)(x, deterministic=deterministic)
+
+        for i in range(cfg.depth):
+            x = ViTBlock(cfg, dtype=self.dtype,
+                         attention_impl=self.attention_impl,
+                         name=f"block_{i}")(x, deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return x[:, 0]
