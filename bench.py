@@ -1,0 +1,89 @@
+"""Benchmark: flagship-model training throughput (frames/sec/chip).
+
+Runs on whatever backend the environment pins (the driver runs it on one
+real TPU chip). Synthetic uint8 batches shaped like the real pipeline's
+output feed a bf16 teacher-forced train step on the flagship config
+(cad_past_10_actions_and_states_timestep_embedding — hidden 1024, 8 decoder
+layers, ViT-512/6 per-frame encoder, window 10, 186-step horizon bucket).
+
+Prints ONE JSON line:
+  {"metric": "train_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/s/chip", "vs_baseline": N / BASELINE_A100_FPS}
+
+``vs_baseline`` compares against an ESTIMATED reference A100 throughput
+(the reference publishes none — BASELINE.md): torch-eager per-frame ViT-512
+with a 2-worker PIL/pickle host pipeline (main.py defaults) is host-bound;
+we credit it 1000 frames/s/chip, which is generous for that stack.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videocad_tpu.data.synthetic import synthetic_batch_feed
+from videocad_tpu.models import create_model, init_model
+from videocad_tpu.train import LossConfig, make_train_step
+from videocad_tpu.train.state import create_train_state
+
+BASELINE_A100_FPS = 1000.0  # estimated reference throughput (see docstring)
+
+FLAGSHIP = dict(
+    hidden_size=1024,
+    num_decoder_layers=8,
+    dim_feedforward=1024,
+    nhead=4,
+    encoder="vit",
+    enable_past_actions=True,
+    enable_past_states=True,
+    enable_timestep_embedding=True,
+    window_size=10,
+    dtype="bfloat16",
+    remat_encoder=True,
+)
+
+LOSS_CONFIG = LossConfig(
+    cmd_weights=(0.04332685213392362, 0.02915898563179938, 0.267566828114559,
+                 0.6005346809501417, 0.05941265316957628),
+    use_mse=True,
+)
+
+
+def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
+         iters: int = 10):
+    model = create_model(FLAGSHIP)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    state, tx = create_train_state(params, {"lr": 1e-5})
+
+    batch_np = synthetic_batch_feed(batch_size, seq_len, image_size=224,
+                                    channels=3, seed=0)
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_np.items()}
+
+    step = jax.jit(make_train_step(model, tx, LOSS_CONFIG), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(warmup):
+        state, loss, _ = step(state, batch, rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, batch, rng)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    # frames actually encoded per step: B * (T-1) after the teacher shift
+    frames_per_step = batch_size * (seq_len - 1)
+    fps = frames_per_step * iters / elapsed
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

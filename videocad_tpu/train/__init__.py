@@ -14,3 +14,6 @@ from videocad_tpu.train.steps import (  # noqa: F401
     make_train_step,
     prepare_model_inputs,
 )
+from videocad_tpu.train.trainer import Trainer  # noqa: F401
+from videocad_tpu.train.checkpoint import CheckpointHandler  # noqa: F401
+from videocad_tpu.train.state import create_sharded_train_state  # noqa: F401

@@ -1,0 +1,64 @@
+"""Orbax checkpointing with true resume.
+
+The reference saves ``{epoch, model_state_dict, optimizer_state_dict,
+loss}`` but never restores the optimizer and always restarts at epoch 0
+(SURVEY.md §5 checkpoint/resume). Here a checkpoint is the full TrainState
+(params + optimizer moments + step) plus metadata, and ``restore`` resumes
+training exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from videocad_tpu.train.state import TrainState
+
+
+class CheckpointHandler:
+    """epoch_N / best_model checkpoints under <dir>/<experiment>/."""
+
+    def __init__(self, experiment_name: str, checkpoint_dir: str = "checkpoints"):
+        self.base = os.path.abspath(os.path.join(checkpoint_dir, experiment_name))
+        os.makedirs(self.base, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    def save(self, state: TrainState, epoch: int, loss: float,
+             is_best: bool = False, name: Optional[str] = None):
+        name = name or ("best_model" if is_best else f"epoch_{epoch + 1}")
+        path = self._path(name)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        # Orbax finalizes the directory asynchronously (atomic rename);
+        # block before writing metadata into it.
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch + 1, "loss": float(loss)}, f)
+        return path
+
+    def restore(self, name: str, target: TrainState
+                ) -> Tuple[TrainState, Dict[str, Any]]:
+        """Restore a TrainState shaped/sharded like ``target``."""
+        path = self._path(name)
+        state = self._ckptr.restore(path, target)
+        meta_path = os.path.join(path, "meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return state, meta
+
+    def latest_epoch(self) -> Optional[str]:
+        epochs = [d for d in os.listdir(self.base) if d.startswith("epoch_")]
+        if not epochs:
+            return None
+        return max(epochs, key=lambda d: int(d.split("_")[1]))
+
+    def wait(self):
+        self._ckptr.wait_until_finished()

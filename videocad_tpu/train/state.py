@@ -66,3 +66,16 @@ def create_train_state(params, training_config: Dict,
                        freeze_cad: bool = False):
     tx = make_optimizer(training_config, freeze_cad)
     return TrainState(step=0, params=params, opt_state=tx.init(params)), tx
+
+
+def create_sharded_train_state(params, training_config: Dict, mesh,
+                               freeze_cad: bool = False):
+    """TrainState laid out on a mesh: params per the TP rules, optimizer
+    moments inheriting the param shardings via GSPMD propagation."""
+    from videocad_tpu.parallel.sharding import shard_params
+
+    tx = make_optimizer(training_config, freeze_cad)
+    sharded = shard_params(mesh, params)
+    state = jax.jit(
+        lambda p: TrainState(step=0, params=p, opt_state=tx.init(p)))(sharded)
+    return state, tx
