@@ -66,12 +66,14 @@ def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
 
     for _ in range(warmup):
         state, loss, _ = step(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)  # full sync: on the tunneled TPU backend,
+    # block_until_ready can return before execution finishes; fetching the
+    # value is the reliable barrier.
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     elapsed = time.perf_counter() - t0
 
     # frames actually encoded per step: B * (T-1) after the teacher shift

@@ -1,0 +1,115 @@
+"""Train CLI — the reference main.py surface, TPU-native.
+
+    python -m videocad_tpu.cli.train \
+        --dataset_path data/data_resized \
+        --config_path data/data_resized/dataset_split.json \
+        --model_config model_configs/transformer_experiments.json \
+        --model_name cad_past_10_actions_and_states_timestep_embedding \
+        --data_parallel 8 --model_parallel 1
+
+Differences from the reference (/root/reference/main.py):
+  * one SPMD process lays a (data, model) jax mesh over all local chips —
+    no mp.spawn / NCCL rendezvous / CUDA_VISIBLE_DEVICES pinning;
+  * frames ship uint8 and are grayscale-normalized on device;
+  * --resume restores params+optimizer+epoch (true resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from videocad_tpu.data.collate import DEFAULT_BUCKETS
+from videocad_tpu.data.dataset import VideoCADDataset, load_split_ids
+from videocad_tpu.data.pipeline import DataPipeline
+from videocad_tpu.experiment import Experiment
+from videocad_tpu.parallel.mesh import create_mesh
+from videocad_tpu.utils.io import load_json
+
+
+def build_pipelines(args, view_ids):
+    splits = load_split_ids(args.config_path)
+    pipes = {}
+    for split in ("train", "val", "test"):
+        ds = VideoCADDataset(
+            args.dataset_path, ids=splits.get(split, []),
+            image_dir=args.image_dir,
+            enable_random=args.enable_random and split == "train",
+            view_ids=view_ids, multiview_dir=args.multiview_dir)
+        pipes[split] = DataPipeline(
+            ds, batch_size=args.batch_size, shuffle=split == "train",
+            buckets=tuple(args.buckets or DEFAULT_BUCKETS),
+            host_id=jax.process_index(), num_hosts=jax.process_count())
+    return pipes
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_path", default="data/data_resized")
+    parser.add_argument("--config_path",
+                        default="data/data_resized/dataset_split.json")
+    parser.add_argument("--image_dir", default=None)
+    parser.add_argument("--multiview_dir", default=None)
+    parser.add_argument("--model_config",
+                        default="model_configs/transformer_experiments.json")
+    parser.add_argument("--model_name",
+                        default="cad_past_10_actions_and_states_timestep_embedding")
+    parser.add_argument("--class_weights", default="class_weights.json")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--enable_random", action="store_true", default=True)
+    parser.add_argument("--no_enable_random", dest="enable_random",
+                        action="store_false")
+    parser.add_argument("--noise", action="store_true",
+                        help="action-noise augmentation")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="0 = all devices / model_parallel")
+    parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--checkpoint_dir", default="checkpoints")
+    parser.add_argument("--log_dir", default="logs")
+    parser.add_argument("--buckets", type=int, nargs="*", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--enable_profiling", action="store_true")
+    parser.add_argument("--sequential", action="store_true",
+                        help="periodic rollout validation")
+    args = parser.parse_args(argv)
+
+    model_configs = load_json(args.model_config)
+    model_params = model_configs[args.model_name]
+    view_ids = ["05", "09", "20"][: model_params.get("num_views", 0)]
+
+    mesh = create_mesh(args.data_parallel or None, args.model_parallel)
+    pipes = build_pipelines(args, view_ids)
+
+    # reference training_config defaults (main.py:77-101)
+    training_config = {
+        "lr": args.lr,
+        "batch_size": args.batch_size,
+        "save_frequency": 20,
+        "val_frequency": 4,
+        "seq_val_frequency": 1100,
+        "sequential": args.sequential,
+        "epochs": args.epochs,
+        "early_stopping_enabled": True,
+        "early_stopping_patience": 10,
+        "early_stopping_min_delta": 0.001,
+        "early_stopping_metric": "loss",
+        "early_stopping_mode": "min",
+        "use_mse": True,
+        "noise": args.noise,
+        "checkpoint_dir": args.checkpoint_dir,
+        "enable_profiling": args.enable_profiling,
+        "resume": args.resume,
+    }
+
+    experiment = Experiment(pipes["train"], pipes["val"], pipes["test"],
+                            training_config, mesh=mesh,
+                            log_dir=args.log_dir,
+                            class_weights_path=args.class_weights)
+    experiment.run_with_config(model_configs, args.model_name)
+
+
+if __name__ == "__main__":
+    main()
