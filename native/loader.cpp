@@ -1,0 +1,270 @@
+// videocad_tpu native data loader.
+//
+// Replaces the reference's torch DataLoader worker processes + per-item
+// pickle/PIL decode (SURVEY.md §2.2: data_loader.py:186-196, 441-449) with
+// a C++ thread pool streaming packed .vcb sequence files into padded,
+// ready-to-ship uint8 batches. Python talks to it over a C ABI via ctypes
+// (videocad_tpu/data/native.py).
+//
+// .vcb layout (little endian), one file per sequence:
+//   char[4]  magic "VCB1"
+//   u32      version (1)
+//   u32      T, H, W, C, act_dim
+//   u8       cad_image[H*W*C]
+//   u8       frames[T*H*W*C]
+//   i32      actions[T*act_dim]
+//
+// Batches pad T up to a fixed bucket length: frames with 0, actions with -1
+// (loss ignore value), matching videocad_tpu.data.collate semantics.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x31424356;  // "VCB1"
+
+struct Sequence {
+  uint32_t t = 0, h = 0, w = 0, c = 0, act_dim = 0;
+  std::vector<uint8_t> cad;
+  std::vector<uint8_t> frames;
+  std::vector<int32_t> actions;
+  bool ok = false;
+};
+
+Sequence read_vcb(const std::string& path) {
+  Sequence seq;
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return seq;
+  uint32_t header[7];
+  if (std::fread(header, sizeof(uint32_t), 7, f) != 7 ||
+      header[0] != kMagic || header[1] != 1) {
+    std::fclose(f);
+    return seq;
+  }
+  seq.t = header[2];
+  seq.h = header[3];
+  seq.w = header[4];
+  seq.c = header[5];
+  seq.act_dim = header[6];
+  const size_t img = static_cast<size_t>(seq.h) * seq.w * seq.c;
+  seq.cad.resize(img);
+  seq.frames.resize(img * seq.t);
+  seq.actions.resize(static_cast<size_t>(seq.t) * seq.act_dim);
+  bool ok = std::fread(seq.cad.data(), 1, seq.cad.size(), f) == seq.cad.size();
+  ok = ok && std::fread(seq.frames.data(), 1, seq.frames.size(), f) ==
+                 seq.frames.size();
+  ok = ok && std::fread(seq.actions.data(), sizeof(int32_t),
+                        seq.actions.size(), f) == seq.actions.size();
+  std::fclose(f);
+  seq.ok = ok;
+  return seq;
+}
+
+struct Batch {
+  std::vector<uint8_t> frames;   // [B, L, H, W, C]
+  std::vector<float> actions;    // [B, L, act_dim], pad -1
+  std::vector<uint8_t> cad;      // [B, H, W, C]
+  std::vector<int32_t> indices;  // source sequence index per row
+};
+
+class Loader {
+ public:
+  Loader(std::vector<std::string> paths, int batch_size, int bucket_len,
+         int h, int w, int c, int act_dim, int prefetch, int num_threads)
+      : paths_(std::move(paths)),
+        batch_size_(batch_size),
+        bucket_len_(bucket_len),
+        h_(h), w_(w), c_(c), act_dim_(act_dim),
+        prefetch_(prefetch < 1 ? 1 : prefetch),
+        num_threads_(num_threads < 1 ? 1 : num_threads) {}
+
+  ~Loader() { stop(); }
+
+  int num_batches() const {
+    return static_cast<int>(paths_.size()) / batch_size_;
+  }
+
+  void start_epoch(int epoch, uint64_t seed, bool shuffle) {
+    stop();
+    order_.resize(paths_.size());
+    for (size_t i = 0; i < order_.size(); ++i) order_[i] = i;
+    if (shuffle) {
+      std::mt19937_64 rng(seed + static_cast<uint64_t>(epoch));
+      std::shuffle(order_.begin(), order_.end(), rng);
+    }
+    next_batch_.store(0);
+    emitted_ = 0;
+    stopping_ = false;
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      pending_.clear();
+    }
+    for (int i = 0; i < num_threads_; ++i) {
+      workers_.emplace_back([this] { work(); });
+    }
+  }
+
+  // Copies the next batch into caller buffers. Returns 1 on success,
+  // 0 at end of epoch.
+  int next(uint8_t* frames_out, float* actions_out, uint8_t* cad_out,
+           int32_t* indices_out) {
+    const int total = num_batches();
+    if (emitted_ >= total) return 0;
+    Batch batch;
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      // Batches must come out in order: wait for batch id == emitted_.
+      cv_.wait(lock, [this] {
+        return stopping_ || pending_.count(emitted_) > 0;
+      });
+      if (stopping_) return 0;
+      batch = std::move(pending_[emitted_]);
+      pending_.erase(emitted_);
+      cv_.notify_all();
+    }
+    std::memcpy(frames_out, batch.frames.data(), batch.frames.size());
+    std::memcpy(actions_out, batch.actions.data(),
+                batch.actions.size() * sizeof(float));
+    std::memcpy(cad_out, batch.cad.data(), batch.cad.size());
+    std::memcpy(indices_out, batch.indices.data(),
+                batch.indices.size() * sizeof(int32_t));
+    ++emitted_;
+    if (emitted_ >= total) stop();
+    return 1;
+  }
+
+ private:
+  void work() {
+    const int total = num_batches();
+    while (!stopping_) {
+      const int batch_id = next_batch_.fetch_add(1);
+      if (batch_id >= total) return;
+      Batch batch = assemble(batch_id);
+      std::unique_lock<std::mutex> lock(mu_);
+      cv_.wait(lock, [this, batch_id] {
+        // Bound memory: keep at most `prefetch_` batches ahead of the reader.
+        return stopping_ ||
+               batch_id < emitted_ + prefetch_ + num_threads_;
+      });
+      if (stopping_) return;
+      pending_[batch_id] = std::move(batch);
+      cv_.notify_all();
+    }
+  }
+
+  Batch assemble(int batch_id) {
+    const size_t img = static_cast<size_t>(h_) * w_ * c_;
+    Batch batch;
+    batch.frames.assign(static_cast<size_t>(batch_size_) * bucket_len_ * img, 0);
+    batch.actions.assign(
+        static_cast<size_t>(batch_size_) * bucket_len_ * act_dim_, -1.0f);
+    batch.cad.assign(static_cast<size_t>(batch_size_) * img, 0);
+    batch.indices.assign(batch_size_, -1);
+    for (int b = 0; b < batch_size_; ++b) {
+      const size_t idx = order_[batch_id * batch_size_ + b];
+      batch.indices[b] = static_cast<int32_t>(idx);
+      Sequence seq = read_vcb(paths_[idx]);
+      if (!seq.ok || seq.h != static_cast<uint32_t>(h_) ||
+          seq.w != static_cast<uint32_t>(w_) ||
+          seq.c != static_cast<uint32_t>(c_) ||
+          seq.act_dim != static_cast<uint32_t>(act_dim_)) {
+        continue;  // leave the padded row; Python validates shapes upfront
+      }
+      const uint32_t t = seq.t < static_cast<uint32_t>(bucket_len_)
+                             ? seq.t
+                             : static_cast<uint32_t>(bucket_len_);
+      std::memcpy(&batch.frames[(static_cast<size_t>(b) * bucket_len_) * img],
+                  seq.frames.data(), static_cast<size_t>(t) * img);
+      for (uint32_t step = 0; step < t; ++step) {
+        for (int a = 0; a < act_dim_; ++a) {
+          batch.actions[(static_cast<size_t>(b) * bucket_len_ + step) *
+                            act_dim_ + a] =
+              static_cast<float>(seq.actions[step * act_dim_ + a]);
+        }
+      }
+      std::memcpy(&batch.cad[static_cast<size_t>(b) * img], seq.cad.data(),
+                  img);
+    }
+    return batch;
+  }
+
+  void stop() {
+    stopping_ = true;
+    cv_.notify_all();
+    for (auto& worker : workers_) {
+      if (worker.joinable()) worker.join();
+    }
+    workers_.clear();
+  }
+
+  std::vector<std::string> paths_;
+  const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, prefetch_,
+      num_threads_;
+  std::vector<size_t> order_;
+  std::vector<std::thread> workers_;
+  std::atomic<int> next_batch_{0};
+  int emitted_ = 0;
+  std::atomic<bool> stopping_{false};
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::map<int, Batch> pending_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vcb_loader_create(const char** paths, int num_paths, int batch_size,
+                        int bucket_len, int h, int w, int c, int act_dim,
+                        int prefetch, int num_threads) {
+  std::vector<std::string> path_vec(paths, paths + num_paths);
+  return new Loader(std::move(path_vec), batch_size, bucket_len, h, w, c,
+                    act_dim, prefetch, num_threads);
+}
+
+int vcb_loader_num_batches(void* handle) {
+  return static_cast<Loader*>(handle)->num_batches();
+}
+
+void vcb_loader_start_epoch(void* handle, int epoch, uint64_t seed,
+                            int shuffle) {
+  static_cast<Loader*>(handle)->start_epoch(epoch, seed, shuffle != 0);
+}
+
+int vcb_loader_next(void* handle, uint8_t* frames, float* actions,
+                    uint8_t* cad, int32_t* indices) {
+  return static_cast<Loader*>(handle)->next(frames, actions, cad, indices);
+}
+
+void vcb_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// Standalone .vcb writer so converters need no Python-side binary packing.
+int vcb_write(const char* path, uint32_t t, uint32_t h, uint32_t w,
+              uint32_t c, uint32_t act_dim, const uint8_t* cad,
+              const uint8_t* frames, const int32_t* actions) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 0;
+  uint32_t header[7] = {kMagic, 1, t, h, w, c, act_dim};
+  const size_t img = static_cast<size_t>(h) * w * c;
+  bool ok = std::fwrite(header, sizeof(uint32_t), 7, f) == 7;
+  ok = ok && std::fwrite(cad, 1, img, f) == img;
+  ok = ok && std::fwrite(frames, 1, img * t, f) == img * t;
+  ok = ok && std::fwrite(actions, sizeof(int32_t),
+                         static_cast<size_t>(t) * act_dim, f) ==
+                 static_cast<size_t>(t) * act_dim;
+  std::fclose(f);
+  return ok ? 1 : 0;
+}
+
+}  // extern "C"

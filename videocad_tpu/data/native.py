@@ -1,0 +1,179 @@
+"""ctypes bindings for the native C++ batch loader (native/loader.cpp).
+
+The native loader replaces the reference's DataLoader worker processes
+(SURVEY.md §2.2): a C++ thread pool streams packed .vcb sequence files and
+assembles padded uint8 batches directly into numpy buffers — no pickle, no
+per-frame Python loop, no PIL. ``NativePipeline`` mirrors the
+``DataPipeline.epoch()`` API so the Trainer consumes either interchangeably.
+
+The shared library builds on demand with g++ -O3 (no pip/pybind needed).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "loader.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libvcb_loader.so")
+
+_lib = None
+
+
+def build_library(force: bool = False) -> str:
+    """Compile native/loader.cpp into a shared library (cached by mtime)."""
+    if (not force and os.path.exists(_LIB)
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+        return _LIB
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build_library())
+    lib.vcb_loader_create.restype = ctypes.c_void_p
+    lib.vcb_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vcb_loader_num_batches.restype = ctypes.c_int
+    lib.vcb_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.vcb_loader_start_epoch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
+    lib.vcb_loader_next.restype = ctypes.c_int
+    lib.vcb_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+    lib.vcb_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.vcb_write.restype = ctypes.c_int
+    lib.vcb_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
+              actions: np.ndarray):
+    """Write one sequence as a .vcb file (via the native writer)."""
+    lib = load_library()
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    cad = np.ascontiguousarray(cad, dtype=np.uint8)
+    actions = np.ascontiguousarray(actions, dtype=np.int32)
+    t, h, w, c = frames.shape
+    assert cad.shape == (h, w, c), (cad.shape, frames.shape)
+    ok = lib.vcb_write(
+        path.encode(), t, h, w, c, actions.shape[1],
+        cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if not ok:
+        raise IOError(f"failed to write {path}")
+
+
+def convert_store_to_vcb(store_dir: str, out_dir: str,
+                         ids: Optional[Sequence[str]] = None) -> int:
+    """Convert a reference pickle store into .vcb shards (one-time ETL)."""
+    from videocad_tpu.data.dataset import VideoCADDataset
+    from videocad_tpu.etl.dataset_gen import shard_path
+    from PIL import Image
+
+    dataset = VideoCADDataset(store_dir, ids=ids)
+    count = 0
+    for i in range(len(dataset)):
+        item = dataset[i]
+        file_id = dataset.sequence_id(i)
+        frames = item["frames"]
+        h, w, c = frames.shape[1:]
+        cad = item["cad_image"]
+        if cad.shape[:2] != (h, w):
+            cad = np.asarray(Image.fromarray(cad).resize((w, h)))
+        if cad.ndim == 2:
+            cad = cad[..., None]
+        if cad.shape[-1] != c:
+            cad = cad[..., :c] if cad.shape[-1] > c else np.repeat(cad, c, -1)
+        path = shard_path(out_dir, file_id, "vcb", "data")
+        write_vcb(path, cad, frames, item["actions"].astype(np.int32))
+        count += 1
+    return count
+
+
+def scan_vcb(root: str) -> list:
+    files = []
+    for dirpath, _dirs, names in os.walk(root):
+        files.extend(os.path.join(dirpath, n) for n in names
+                     if n.endswith(".vcb"))
+    files.sort()
+    return files
+
+
+class NativePipeline:
+    """Iterator over padded batches assembled by the C++ loader."""
+
+    def __init__(self, paths: Sequence[str], batch_size: int, bucket_len: int,
+                 image_shape=(224, 224, 3), act_dim: int = 7,
+                 shuffle: bool = True, seed: int = 42, prefetch: int = 2,
+                 num_threads: int = 2):
+        if not paths:
+            raise ValueError("no .vcb files given")
+        self.lib = load_library()
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.bucket_len = bucket_len
+        self.h, self.w, self.c = image_shape
+        self.act_dim = act_dim
+        self.shuffle = shuffle
+        self.seed = seed
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        self._handle = self.lib.vcb_loader_create(
+            arr, len(self.paths), batch_size, bucket_len,
+            self.h, self.w, self.c, act_dim, prefetch, num_threads)
+
+    def __len__(self) -> int:
+        return self.lib.vcb_loader_num_batches(self._handle)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        self.lib.vcb_loader_start_epoch(self._handle, epoch, self.seed,
+                                        int(self.shuffle))
+        b, l = self.batch_size, self.bucket_len
+        while True:
+            frames = np.empty((b, l, self.h, self.w, self.c), np.uint8)
+            actions = np.empty((b, l, self.act_dim), np.float32)
+            cad = np.empty((b, self.h, self.w, self.c), np.uint8)
+            indices = np.empty((b,), np.int32)
+            ok = self.lib.vcb_loader_next(
+                self._handle,
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if not ok:
+                return
+            yield {
+                "frames": frames,
+                "actions": actions,
+                "cad_image": cad,
+                "timesteps": np.tile(np.arange(l)[None], (b, 1)),
+                "ids": [os.path.basename(self.paths[i]).split("_")[0]
+                        for i in indices],
+            }
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self.lib.vcb_loader_destroy(self._handle)
+            self._handle = None
