@@ -96,6 +96,60 @@ def logs_to_actions(log_text: str):
     return np.array(vectors), timestamps
 
 
+def convert_log_dir_to_json(source_dir: str, target_dir: str,
+                            is_filtered: bool = False) -> list:
+    """Directory-level raw-log -> parsed-JSON conversion
+    (reference transform_dataset.py:346-354)."""
+    import json
+    os.makedirs(target_dir, exist_ok=True)
+    written = []
+    for name in sorted(os.listdir(source_dir)):
+        with open(os.path.join(source_dir, name)) as f:
+            logs = process_logs(f.read(), is_filtered)
+        out = os.path.join(target_dir, f"{os.path.splitext(name)[0]}.json")
+        with open(out, "w") as f:
+            json.dump(logs, f, indent=2)
+        written.append(out)
+    return written
+
+
+def json_dir_to_vectors(source_dir: str, target_dir: str) -> list:
+    """Directory-level parsed-JSON -> (actions, timesteps) pickles + CSVs,
+    truncated at the end sentinel (reference transform_dataset.py:357-383).
+
+    Matching the reference, sequences with NO sentinel are skipped entirely.
+    """
+    import json
+
+    os.makedirs(target_dir, exist_ok=True)
+    written = []
+    for name in sorted(os.listdir(source_dir)):
+        stem = os.path.splitext(name)[0]
+        out_pkl = os.path.join(target_dir, f"{stem}.pkl")
+        if os.path.exists(out_pkl):
+            continue
+        with open(os.path.join(source_dir, name)) as f:
+            logs = json.load(f)
+        vectors, timestamps = convert_logs_to_vectors(logs)
+        actions = np.array(vectors)
+        timesteps = np.array(timestamps)
+        if actions.size == 0:
+            continue
+        end_idx = np.where(actions[:, 3] == END_SENTINEL)[0]
+        if len(end_idx) == 0:
+            continue
+        end = end_idx[0] + 1
+        actions, timesteps = actions[:end], timesteps[:end]
+        np.savetxt(os.path.join(target_dir, f"{stem}.csv"), actions,
+                   delimiter=",", fmt="%s")
+        np.savetxt(os.path.join(target_dir, f"{stem}_t.csv"), timesteps,
+                   delimiter=",", fmt="%s")
+        with open(out_pkl, "wb") as f:
+            pickle.dump((actions, timesteps), f)
+        written.append(out_pkl)
+    return written
+
+
 def generate_dataset(raw_dir: str, out_dir: str, resize=(224, 224)) -> list:
     """Process every (video, log, image) triple under ``raw_dir``.
 

@@ -1,1 +1,2 @@
 from videocad_tpu.infer.rollout import sequential_inference  # noqa: F401
+from videocad_tpu.infer.interpret import attention_rollout, cad_saliency  # noqa: F401

@@ -21,9 +21,23 @@ from videocad_tpu.models.videocadformer import (
 )
 
 
-def create_model(model_config: Dict[str, Any]) -> VideoCADFormer:
-    """Build the model from a config dict (reference JSON schema accepted)."""
+def create_model(model_config: Dict[str, Any]):
+    """Build the model from a config dict (reference JSON schema accepted).
+
+    Like the reference factory, the ``model_name`` field does NOT select an
+    architecture — every named config builds VideoCADFormer (quirk 1). The
+    decision-transformer family (vid_pretrained scaffold) is an explicit
+    opt-in via ``model_family: "decision_transformer"``.
+    """
     cfg = VideoCADFormerConfig.from_json(model_config)
+    if model_config.get("model_family") == "decision_transformer":
+        from videocad_tpu.models.decision_transformer import DecisionTransformer
+        return DecisionTransformer(
+            cfg,
+            n_layer=model_config.get("n_layer", 6),
+            n_head=model_config.get("n_head", 8),
+            enable_image_conditioning=model_config.get(
+                "enable_image_conditioning", True))
     return VideoCADFormer(cfg)
 
 

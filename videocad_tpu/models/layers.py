@@ -75,6 +75,9 @@ class MultiHeadAttention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    # Record softmax weights into the 'intermediates' collection (used by
+    # attention-rollout interpretability; forces the XLA path).
+    sow_weights: bool = False
 
     def setup(self):
         hd = self.head_dim or self.model_dim // self.num_heads
@@ -101,7 +104,19 @@ class MultiHeadAttention(nn.Module):
         use_dropout = self.dropout_rate > 0.0 and not deterministic
         if use_dropout:
             dropout_rng = self.make_rng("dropout")
-        if self.attention_impl == "pallas" and not use_dropout:
+        if self.sow_weights:
+            depth = q.shape[-1]
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+                jnp.asarray(depth, q.dtype))
+            if mask is not None:
+                m = mask
+                while m.ndim < 4:
+                    m = m[None]
+                scores = jnp.where(m, scores, jnp.finfo(scores.dtype).min)
+            weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
+            self.sow("intermediates", "attention_weights", weights)
+            out = jnp.einsum("bhts,bshd->bthd", weights.astype(q.dtype), v)
+        elif self.attention_impl == "pallas" and not use_dropout:
             from videocad_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v, mask=mask)
         else:

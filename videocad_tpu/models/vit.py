@@ -39,6 +39,7 @@ class ViTBlock(nn.Module):
     config: ViTConfig
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    sow_attention: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -48,6 +49,7 @@ class ViTBlock(nn.Module):
             model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
             dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
             attention_impl=self.attention_impl, name="attn",
+            sow_weights=self.sow_attention,
         )(h, h, deterministic=deterministic)
         x = x + nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
 
@@ -66,6 +68,7 @@ class ViT(nn.Module):
     config: ViTConfig = ViTConfig()
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    sow_attention: bool = False
 
     @nn.compact
     def __call__(self, images, deterministic=True):
@@ -92,6 +95,7 @@ class ViT(nn.Module):
         for i in range(cfg.depth):
             x = ViTBlock(cfg, dtype=self.dtype,
                          attention_impl=self.attention_impl,
+                         sow_attention=self.sow_attention,
                          name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x[:, 0]
