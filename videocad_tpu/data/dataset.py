@@ -131,6 +131,25 @@ class VideoCADDataset:
             item["multiview_images"] = np.stack(views)
         return item
 
+    def check_multiview_availability(self):
+        """Verify every sample has every requested view PNG upfront
+        (reference data_loader.py:268-295); raises listing what's missing."""
+        missing = {}
+        for idx in range(len(self)):
+            file_id = self.sequence_id(idx)
+            base_dir = self.multiview_dir or os.path.dirname(
+                self.data_files[idx])
+            for view_id in self.view_ids:
+                path = os.path.join(base_dir, file_id[:4],
+                                    f"{file_id}_{view_id}.png")
+                if not os.path.exists(path):
+                    missing.setdefault(file_id, []).append(view_id)
+        if missing:
+            examples = "; ".join(
+                f"{fid}: {views}" for fid, views in list(missing.items())[:5])
+            raise ValueError(
+                f"{len(missing)} samples missing requested views ({examples})")
+
     def validate(self, indices: Optional[Sequence[int]] = None):
         """The reference's (disabled) validity check, on demand
         (data_loader.py:255-265)."""

@@ -289,8 +289,12 @@ class Trainer:
             pred = np.asarray(jnp.concatenate(
                 [cmd_pred[..., None], param_pred], axis=-1))
             actions = np.asarray(device_batch["actions"])
+            cad_images = np.asarray(batch["cad_image"])
             ids = batch.get("ids", [str(i) for i in range(pred.shape[0])])
             for i, sample_id in enumerate(ids):
+                self._save_cad_png(cad_images[i],
+                                   os.path.join(folder,
+                                                f"images_{sample_id}.png"))
                 with open(os.path.join(
                         folder, f"pred_actions_{sample_id}.csv"), "w",
                         newline="") as f:
@@ -303,6 +307,17 @@ class Trainer:
                 if count >= n:
                     return
         return
+
+    @staticmethod
+    def _save_cad_png(cad: np.ndarray, path: str):
+        """Save a (possibly normalized float) CAD image as a PNG
+        (reference trainer.py:1126-1127)."""
+        from PIL import Image
+        if cad.dtype != np.uint8:
+            cad = np.clip((cad * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        if cad.ndim == 3 and cad.shape[-1] == 1:
+            cad = cad[..., 0]
+        Image.fromarray(cad).save(path)
 
     # ------------------------------------------------------------------
     def find_first_mistake(self, mode: str = "test", tol: int = 3,
