@@ -44,12 +44,14 @@ def banded_mask(q_len: int, kv_len: int, window: int) -> jnp.ndarray:
 
 
 def xla_attention(q, k, v, mask=None, dropout_rate=0.0, deterministic=True,
-                  dropout_rng=None):
+                  dropout_rng=None, dropout_impl="xla"):
     """softmax(q k^T / sqrt(d) + mask) v with f32 softmax.
 
     q: (B, T, H, D); k, v: (B, S, H, D); mask broadcastable to (B, H, T, S)
     bool (True = attend).
     """
+    from videocad_tpu.ops.dropout import dropout as apply_dropout
+
     dtype = q.dtype
     depth = q.shape[-1]
     scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
@@ -60,8 +62,8 @@ def xla_attention(q, k, v, mask=None, dropout_rate=0.0, deterministic=True,
         scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
     weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-        weights = weights * keep / (1.0 - dropout_rate)
+        weights = apply_dropout(weights, dropout_rng, dropout_rate,
+                                impl=dropout_impl)
     return jnp.einsum("bhts,bshd->bthd", weights, v)
 
 
@@ -75,6 +77,7 @@ class MultiHeadAttention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    dropout_impl: str = "xla"  # 'pallas' = hardware-PRNG fused dropout
     # Record softmax weights into the 'intermediates' collection (used by
     # attention-rollout interpretability; forces the XLA path).
     sow_weights: bool = False
@@ -121,7 +124,8 @@ class MultiHeadAttention(nn.Module):
             out = flash_attention(q, k, v, mask=mask)
         else:
             out = xla_attention(q, k, v, mask, self.dropout_rate,
-                                deterministic, dropout_rng)
+                                deterministic, dropout_rng,
+                                self.dropout_impl)
         b, t = q.shape[0], q.shape[1]
         return self.out(out.reshape(b, t, self.num_heads * self._head_dim))
 
@@ -144,11 +148,13 @@ class TransformerDecoderLayer(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    dropout_impl: str = "xla"
 
     def setup(self):
         kw = dict(model_dim=self.model_dim, num_heads=self.num_heads,
                   dropout_rate=self.dropout_rate, dtype=self.dtype,
-                  attention_impl=self.attention_impl)
+                  attention_impl=self.attention_impl,
+                  dropout_impl=self.dropout_impl)
         self.self_attn = MultiHeadAttention(**kw)
         self.cross_attn = MultiHeadAttention(**kw)
         self.linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
@@ -156,15 +162,21 @@ class TransformerDecoderLayer(nn.Module):
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _drop(self, x, deterministic):
+        if deterministic or self.dropout_rate == 0.0:
+            return x
+        from videocad_tpu.ops.dropout import dropout
+        return dropout(x, self.make_rng("dropout"), self.dropout_rate,
+                       impl=self.dropout_impl)
 
     def _ffn(self, x, deterministic):
-        h = self.dropout(nn.relu(self.linear1(x)), deterministic=deterministic)
+        h = self._drop(nn.relu(self.linear1(x)), deterministic)
         return self.linear2(h)
 
     def __call__(self, x, memory, tgt_mask=None, memory_mask=None,
                  deterministic=True):
-        drop = lambda y: self.dropout(y, deterministic=deterministic)  # noqa: E731
+        drop = lambda y: self._drop(y, deterministic)  # noqa: E731
         x = self.norm1(x + drop(self.self_attn(x, x, tgt_mask, deterministic)))
         x = self.norm2(x + drop(self.cross_attn(x, memory, memory_mask,
                                                 deterministic)))
@@ -202,6 +214,7 @@ class TransformerDecoder(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    dropout_impl: str = "xla"
 
     def setup(self):
         self.layers = [
@@ -209,6 +222,7 @@ class TransformerDecoder(nn.Module):
                 model_dim=self.model_dim, num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, dropout_rate=self.dropout_rate,
                 dtype=self.dtype, attention_impl=self.attention_impl,
+                dropout_impl=self.dropout_impl,
                 name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

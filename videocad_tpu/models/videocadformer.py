@@ -80,6 +80,7 @@ class VideoCADFormerConfig:
     # TPU knobs
     dtype: str = "float32"           # compute dtype: 'float32' | 'bfloat16'
     attention_impl: str = "xla"      # 'xla' | 'pallas'
+    dropout_impl: str = "xla"        # 'xla' | 'pallas' (hardware-PRNG fused)
     preprocess_impl: str = "xla"     # 'xla' | 'pallas' (uint8 image inputs)
     frame_chunk: int = 0             # >0: scan frame encoding in chunks
     remat_encoder: bool = False      # rematerialize per-frame encoding
@@ -123,7 +124,8 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False):
             channels=cfg.image_channels, dropout=cfg.dropout,
             emb_dropout=cfg.dropout)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
-                   attention_impl=cfg.attention_impl, name=name)
+                   attention_impl=cfg.attention_impl,
+                   dropout_impl=cfg.dropout_impl, name=name)
     if cfg.encoder == "resnet":
         cls = nn.remat(ResNet18GN, static_argnums=(2,)) if remat else ResNet18GN
         return cls(dtype=cfg.compute_dtype, name=name)
@@ -160,7 +162,8 @@ class VideoCADFormer(nn.Module):
             model_dim=cfg.hidden_size, num_layers=cfg.num_decoder_layers,
             num_heads=cfg.nhead, ffn_dim=cfg.dim_feedforward,
             dropout_rate=cfg.dropout, dtype=dtype,
-            attention_impl=cfg.attention_impl)
+            attention_impl=cfg.attention_impl,
+            dropout_impl=cfg.dropout_impl)
         self.predict_cmd = nn.Dense(cfg.num_classes, dtype=jnp.float32)
         self.predict_params = nn.Dense(
             cfg.num_params * cfg.num_params_values, dtype=jnp.float32)

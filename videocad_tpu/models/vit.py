@@ -39,7 +39,15 @@ class ViTBlock(nn.Module):
     config: ViTConfig
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    dropout_impl: str = "xla"
     sow_attention: bool = False
+
+    def _drop(self, x, deterministic):
+        if deterministic or self.config.dropout == 0.0:
+            return x
+        from videocad_tpu.ops.dropout import dropout
+        return dropout(x, self.make_rng("dropout"), self.config.dropout,
+                       impl=self.dropout_impl)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -49,16 +57,17 @@ class ViTBlock(nn.Module):
             model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
             dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
             attention_impl=self.attention_impl, name="attn",
+            dropout_impl=self.dropout_impl,
             sow_weights=self.sow_attention,
         )(h, h, deterministic=deterministic)
-        x = x + nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        x = x + self._drop(h, deterministic)
 
         h = nn.LayerNorm(dtype=self.dtype, name="mlp_norm")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = nn.gelu(h)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = self._drop(h, deterministic)
         h = nn.Dense(cfg.dim, dtype=self.dtype, name="mlp_out")(h)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = self._drop(h, deterministic)
         return x + h
 
 
@@ -68,6 +77,7 @@ class ViT(nn.Module):
     config: ViTConfig = ViTConfig()
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    dropout_impl: str = "xla"
     sow_attention: bool = False
 
     @nn.compact
@@ -95,6 +105,7 @@ class ViT(nn.Module):
         for i in range(cfg.depth):
             x = ViTBlock(cfg, dtype=self.dtype,
                          attention_impl=self.attention_impl,
+                         dropout_impl=self.dropout_impl,
                          sow_attention=self.sow_attention,
                          name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
