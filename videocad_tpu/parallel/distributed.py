@@ -1,0 +1,35 @@
+"""Multi-host initialization.
+
+The reference's NCCL process-group setup (main.py:31-35) maps to
+``jax.distributed.initialize`` on TPU pods: each host runs the same SPMD
+program; the mesh in videocad_tpu.parallel.mesh then spans all hosts' chips
+(ICI within a slice, DCN across slices). Single-host runs need none of this.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize multi-host JAX when requested; returns True if distributed.
+
+    With no arguments, reads the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS etc.) or auto-detects the platform's cluster
+    environment; silently stays single-host when nothing is configured.
+    """
+    configured = (coordinator_address
+                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                  or os.environ.get("COORDINATOR_ADDRESS"))
+    if not configured and num_processes is None:
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return True
