@@ -1,0 +1,71 @@
+"""Fused short-sequence MHSA kernel vs XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocad_tpu.models.layers import xla_attention
+from videocad_tpu.ops.fused_attention import mhsa_short
+
+
+def _qkv(b, t, h, d, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, t, h * d)
+    return [jax.random.normal(k, shape, jnp.float32) for k in keys]
+
+
+def _reference(q, k, v, h):
+    b, t, hd = q.shape
+    d = hd // h
+    split = lambda x: x.reshape(b, t, h, d)  # noqa: E731
+    out = xla_attention(split(q), split(k), split(v))
+    return out.reshape(b, t, hd)
+
+
+@pytest.mark.parametrize("b,t,h,d", [
+    (4, 50, 16, 64),   # the ViT shape (pads 50 -> 56)
+    (2, 16, 2, 32),
+    (8, 8, 4, 16),
+    (3, 13, 2, 8),     # odd batch -> block_b 1; uneven T
+])
+def test_fused_matches_xla(b, t, h, d):
+    q, k, v = _qkv(b, t, h, d)
+    expected = _reference(q, k, v, h)
+    got = mhsa_short(q, k, v, jnp.int32(0), h, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_gradients_match_xla():
+    b, t, h, d = 2, 16, 4, 16
+    q, k, v = _qkv(b, t, h, d, seed=3)
+
+    def loss_fused(q, k, v):
+        return (mhsa_short(q, k, v, jnp.int32(0), h, 0.0) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference(q, k, v, h) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-5, rtol=1e-3)
+
+
+def test_model_with_fused_vit_attention_matches_xla():
+    from tests.helpers import TINY_CONFIG, synthetic_batch
+    from videocad_tpu.models import create_model, init_model
+
+    base = dict(TINY_CONFIG)
+    m_xla = create_model(base)
+    params = init_model(m_xla, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    m_fused = create_model(dict(base, vit_attention_impl="fused"))
+    data = synthetic_batch(np.random.default_rng(0), 1, 6, image_size=32)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    out_xla = m_xla.apply({"params": params}, batch, deterministic=True)
+    out_fused = m_fused.apply({"params": params}, batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_xla[0]),
+                               np.asarray(out_fused[0]),
+                               atol=5e-5, rtol=1e-3)

@@ -119,6 +119,23 @@ class MultiHeadAttention(nn.Module):
             weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
             self.sow("intermediates", "attention_weights", weights)
             out = jnp.einsum("bhts,bshd->bthd", weights.astype(q.dtype), v)
+        elif self.attention_impl == "fused" and mask is None:
+            # Short-sequence fused MHSA: no layout transposes, in-kernel
+            # softmax + hardware-PRNG dropout (ops/fused_attention.py).
+            from videocad_tpu.ops.fused_attention import mhsa_short
+            b, t = q.shape[:2]
+            if use_dropout:
+                seed = jax.random.randint(dropout_rng, (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+                rate = self.dropout_rate
+            else:
+                seed = jnp.int32(0)
+                rate = 0.0
+            fused = mhsa_short(q.reshape(b, t, -1), k.reshape(b, t, -1),
+                               v.reshape(b, t, -1), seed, self.num_heads,
+                               rate)
+            return self.out(fused)
         elif self.attention_impl == "pallas" and not use_dropout:
             from videocad_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v, mask=mask)

@@ -79,7 +79,8 @@ class VideoCADFormerConfig:
     vit_mlp_dim: int = 512
     # TPU knobs
     dtype: str = "float32"           # compute dtype: 'float32' | 'bfloat16'
-    attention_impl: str = "xla"      # 'xla' | 'pallas'
+    attention_impl: str = "xla"      # 'xla' | 'pallas' (decoder)
+    vit_attention_impl: str = "xla"  # 'xla' | 'fused' (per-frame encoder)
     dropout_impl: str = "xla"        # 'xla' | 'pallas' (hardware-PRNG fused)
     preprocess_impl: str = "xla"     # 'xla' | 'pallas' (uint8 image inputs)
     frame_chunk: int = 0             # >0: scan frame encoding in chunks
@@ -124,7 +125,7 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False):
             channels=cfg.image_channels, dropout=cfg.dropout,
             emb_dropout=cfg.dropout)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
-                   attention_impl=cfg.attention_impl,
+                   attention_impl=cfg.vit_attention_impl,
                    dropout_impl=cfg.dropout_impl, name=name)
     if cfg.encoder == "resnet":
         cls = nn.remat(ResNet18GN, static_argnums=(2,)) if remat else ResNet18GN
