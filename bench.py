@@ -42,6 +42,7 @@ FLAGSHIP = dict(
     window_size=10,
     dtype="bfloat16",
     remat_encoder=True,
+    vit_attention_impl="fused",
 )
 
 LOSS_CONFIG = LossConfig(
