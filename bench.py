@@ -52,6 +52,40 @@ LOSS_CONFIG = LossConfig(
 )
 
 
+def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
+                  iters: int = 3):
+    """186-step autoregressive rollout throughput (actions/sec).
+
+    The reference rollout re-runs a full forward per step (O(T^2) with O(T)
+    frame re-encodes each — autoregressive_transformer.py:222-274); ours is
+    the KV-cached lax.scan engine. Run via `python bench.py rollout`.
+    """
+    from videocad_tpu.infer.rollout import sequential_inference
+
+    model = create_model(FLAGSHIP)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    feed = synthetic_batch_feed(batch_size, seq_len, image_size=224,
+                                channels=3, seed=0)
+    frames = jax.device_put(jnp.asarray(feed["frames"]))
+    cad = jax.device_put(jnp.asarray(feed["cad_image"]))
+
+    for _ in range(warmup):
+        cmds, _ = sequential_inference(model, params, frames, cad)
+    float(cmds[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cmds, _ = sequential_inference(model, params, frames, cad)
+    float(cmds[0, 0, 0])
+    elapsed = time.perf_counter() - t0
+    actions_per_sec = batch_size * seq_len * iters / elapsed
+    print(json.dumps({
+        "metric": "rollout_actions_per_sec",
+        "value": round(actions_per_sec, 2),
+        "unit": "actions/s",
+        "vs_baseline": None,
+    }))
+
+
 def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
          iters: int = 10):
     model = create_model(FLAGSHIP)
@@ -89,4 +123,8 @@ def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "rollout":
+        bench_rollout()
+    else:
+        main()
