@@ -144,28 +144,36 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
             inputs["multiview_images"] = multiview_images
         return model.apply({"params": params}, inputs, deterministic=True)
 
+    # The decode loop runs in f32 end to end: the per-step math is tiny
+    # (hidden vectors, not frame batches), and f32 keeps argmax decisions
+    # faithful to the teacher-forced forward. `memory` (from the bf16
+    # encoders) promotes to f32 inside precompute_memory_kv via the f32
+    # kernels.
     mem_kv = precompute_memory_kv(params, memory, cfg.num_decoder_layers,
                                   cfg.nhead)
+    mem_kv = [(k.astype(jnp.float32), v.astype(jnp.float32))
+              for k, v in mem_kv]
 
     b = frames.shape[0]
     hd = cfg.hidden_size // cfg.nhead
     init_kv = [
-        (jnp.zeros((b, seq_len, cfg.nhead, hd), dtype),
-         jnp.zeros((b, seq_len, cfg.nhead, hd), dtype))
+        (jnp.zeros((b, seq_len, cfg.nhead, hd), jnp.float32),
+         jnp.zeros((b, seq_len, cfg.nhead, hd), jnp.float32))
         for _ in range(cfg.num_decoder_layers)
     ]
 
     if cfg.enable_timestep_embedding:
         ts_emb = params["timestep_embedding"]["embedding"][:seq_len]
     else:
-        ts_emb = jnp.zeros((seq_len, cfg.hidden_size), dtype)
+        ts_emb = jnp.zeros((seq_len, cfg.hidden_size), jnp.float32)
 
     embed_action_p = params["embed_action"]
     head_cmd_p, head_params_p = params["predict_cmd"], params["predict_params"]
 
     def step(carry, t):
         action, self_kv = carry
-        x = jnp.tanh(_dense(embed_action_p, action.astype(dtype)) + ts_emb[t])
+        x = jnp.tanh(_dense(embed_action_p, action) + ts_emb[t].astype(
+            jnp.float32))
         hidden, self_kv = decode_step(params, cfg, x, t, self_kv, mem_kv,
                                       cfg.window_size, seq_len)
         hidden = hidden.astype(jnp.float32)
