@@ -118,6 +118,36 @@ def test_find_first_mistake_structure(env):
     assert all(len(m) == 2 for m in bucket["Memory"]["cmd"])
 
 
+def test_early_stopping_accuracy_metric_not_poisoned_by_loss(env):
+    """With metric='accuracy' (max mode), non-validation epochs must not
+    feed the loss value into the best-metric tracking (regression: the
+    loss fallback froze best at epoch 0 and stopped training)."""
+    trainer = _make_trainer(env, "run7",
+                            val_frequency=2,  # epoch 1 has no validation
+                            early_stopping_enabled=True,
+                            early_stopping_patience=3,
+                            early_stopping_metric="accuracy",
+                            early_stopping_mode="max")
+    trainer.train(epochs=4)
+    # training ran all epochs: accuracy (a fraction) was only compared
+    # against accuracy, never against the large loss value
+    assert os.path.exists(os.path.join(trainer.logger.dir, "epoch_4.json"))
+
+
+def test_pipeline_early_break_does_not_hang(env):
+    """Abandoning an epoch mid-iteration must terminate the prefetch
+    worker (regression: q.put blocked forever on the full queue)."""
+    import threading
+    _, pipes = env
+    pipe = pipes["train"]
+    before = threading.active_count()
+    for _ in range(5):
+        for batch in pipe.epoch(0):
+            break  # consume one batch, abandon the generator
+    # workers exit promptly; no unbounded thread accumulation
+    assert threading.active_count() <= before + 1
+
+
 def test_early_stopping_triggers(env):
     trainer = _make_trainer(env, "run6",
                             early_stopping_enabled=True,

@@ -79,16 +79,28 @@ class DataPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Stop-aware put: an abandoned consumer (early break from the
+            # epoch) must not leave the worker parked on a full queue.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for indices in self.sampler.epoch_batches(epoch):
                     if stop.is_set():
                         return
-                    q.put(self._assemble(indices))
+                    if not put(self._assemble(indices)):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
@@ -102,7 +114,13 @@ class DataPipeline:
                 yield item
         finally:
             stop.set()
-            thread.join(timeout=1.0)
+            # Drain so a put() blocked between Full checks can finish.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=2.0)
 
 
 def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], mesh=None,

@@ -109,8 +109,11 @@ class Experiment:
         results = trainer.evaluate(mode="test")
         if jax.process_index() == 0:
             save_json(results, os.path.join(exp_dir, "results.json"))
-            if training_config.get("sequential", False):
-                seq_results = trainer.sequential_evaluate(mode="test")
+        if training_config.get("sequential", False):
+            # All hosts must participate (the rollout's collectives span the
+            # mesh); only the save is gated.
+            seq_results = trainer.sequential_evaluate(mode="test")
+            if jax.process_index() == 0:
                 save_json(seq_results,
                           os.path.join(exp_dir, "seq_results.json"))
         return results

@@ -34,7 +34,10 @@ def cad_saliency(model: VideoCADFormer, params: Dict, batch: Dict,
         "actions": normalize_actions(batch["actions"])[:, :1],
     }
     if batch.get("multiview_images") is not None:
-        inputs["multiview_images"] = batch["multiview_images"][:, :1]
+        # Views have no time axis — pass all of them. (The reference slices
+        # [:, :1] here too, which breaks embed_multiview for num_views > 1;
+        # a bug, not a parity surface.)
+        inputs["multiview_images"] = batch["multiview_images"]
 
     def selected_logit_sum(cad_image):
         cmd_logits, _ = model.apply(

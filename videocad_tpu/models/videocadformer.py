@@ -42,12 +42,6 @@ from videocad_tpu.ops.preprocess import maybe_preprocess
 from videocad_tpu.models.resnet import ResNet18GN
 from videocad_tpu.models.vit import ViT, ViTConfig
 
-# Config keys accepted for compatibility with model_configs/*.json but not
-# used for sizing/behavior (see SURVEY.md quirk register 13).
-_COMPAT_KEYS = ("model_name", "state_dim", "max_length", "normalize",
-                "action_tanh", "use_gencad_augmentation", "train_config")
-
-
 @dataclasses.dataclass(frozen=True)
 class VideoCADFormerConfig:
     act_dim: int = ACT_DIM

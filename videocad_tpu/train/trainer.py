@@ -145,7 +145,9 @@ class Trainer:
 
             if self.es_enabled:
                 current = self._current_metric(avg_loss, val_metrics)
-                if self._improved(current, best_value):
+                if current is None:
+                    pass  # metric not measured this epoch; no ES update
+                elif self._improved(current, best_value):
                     self.log(f"Validation {self.es_metric} improved "
                              f"{best_value:.4f} -> {current:.4f}")
                     best_value, patience = current, 0
@@ -179,9 +181,17 @@ class Trainer:
             os.makedirs(trace_dir, exist_ok=True)
             jax.profiler.start_trace(trace_dir)
         try:
+            from videocad_tpu.data.pipeline import device_prefetch
+
+            def host_batches():
+                for batch in self.train_pipe.epoch(epoch):
+                    yield _array_batch(batch)
+
             timer = time.time()
-            for batch in self.train_pipe.epoch(epoch):
-                device_batch = self._put(batch)
+            # Two batches stay in flight on device so step N+1's H2D
+            # transfer overlaps step N's compute.
+            for device_batch in device_prefetch(host_batches(),
+                                                mesh=self.mesh, size=2):
                 data_time += time.time() - timer
                 timer = time.time()
                 self.state, loss, batch_metrics = self._train_step(
@@ -213,13 +223,16 @@ class Trainer:
         return val_metrics
 
     def _current_metric(self, avg_loss, val_metrics):
+        """The early-stopping metric for this epoch, or None when the
+        configured metric is unavailable (accuracy on a non-validation
+        epoch) — mixing in a loss fallback would poison a max-mode best."""
         if self.es_metric == "loss":
             return avg_loss
         if (self.es_metric == "accuracy" and val_metrics
                 and val_metrics.get("total_predictions", 0) > 0):
             return (val_metrics["correct_predictions"]
                     / val_metrics["total_predictions"])
-        return avg_loss
+        return None
 
     def _improved(self, current, best):
         if self.es_mode == "min":
@@ -279,10 +292,8 @@ class Trainer:
                     device_batch["cad_image"])
             from videocad_tpu.train.steps import prepare_model_inputs
             model_inputs, _ = prepare_model_inputs(device_batch)
-            cmd_logits, param_logits = jax.jit(
-                lambda p, b: self.model.apply({"params": p}, b,
-                                              deterministic=True)
-            )(self.state.params, model_inputs)
+            cmd_logits, param_logits = self._eval_forward(
+                self.state.params, model_inputs)
             cmd_pred = jnp.argmax(cmd_logits, axis=-1)
             param_pred = apply_action_mask(
                 cmd_pred, jnp.argmax(param_logits, axis=-1))
