@@ -1,20 +1,22 @@
 """Fused multi-head self-attention for short sequences (the ViT hot path).
 
-Profiling the flagship train step (tools/profile_step.py) shows the ViT's
-50-token attention dominating: XLA materializes (B,T,H,D) <-> (B,H,T,S)
-transposes around every batched matmul (~110 ms/step of "data formatting")
-and bounces (B,T,H,50,50) score/weight/mask tensors through HBM.
+Profiling the flagship train step (tools/profile_step.py +
+tools/analyze_trace.py) showed the ViT's 50-token attention dominating:
+XLA materializes (B,T,H,D) <-> (B,H,T,S) transposes around every batched
+matmul and bounces (B,H,50,50) score/weight/mask tensors through HBM.
+A first kernel revision that still required XLA-side head transposes spent
+~67 ms/step in them — HBM-level 4D transposes run far below bandwidth.
 
-Kernel design: grid = (frame-blocks, heads) over (B, H, T, D) inputs (one
-cheap XLA transpose each — vs the reference pattern of transposing around
-EVERY batched matmul). BlockSpecs deliver contiguous per-head (bb, T, D)
-slabs; inside the kernel one batched dot produces all (bb, T, T) scores,
-softmax (+ optional hardware-PRNG dropout on the weights) runs in VMEM, and
-a second batched dot writes the output slab — score/weight/mask tensors
-never touch HBM. The backward kernel recomputes the weights and
-the identical dropout mask (same seed) and emits dq/dk/dv in one pass — the
-flash-attention recompute trade, specialized for sequences short enough to
-hold (T, T) scores per head in VMEM.
+Kernel design (v3): grid over frame-blocks only; BlockSpecs deliver the
+full (bb, T, H, D) slab in the natural layout (legal: the last two block
+dims equal the array dims), the head transpose happens ONCE in VMEM, one
+batched dot produces all (bb*H, T, T) scores, f32 softmax (+ optional
+hardware-PRNG dropout) runs in registers, and the output transposes back
+before the single write — the XLA graph contains no transposes and no
+attention intermediates. The backward kernel recomputes the weights and
+the identical dropout mask (same seed) and emits dq/dk/dv in one pass —
+the flash-attention recompute trade, specialized for sequences short
+enough to hold per-head (T, T) scores in VMEM.
 
 No mask support: the ViT is bidirectional.
 """
@@ -31,20 +33,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _batched_dot(a, b, contract_a, contract_b):
-    """(bb, M, K) x (bb, N, K|K, N) batched matmul, f32 accumulation."""
+    """(N, M, K) x (N, ...) batched matmul, f32 accumulation."""
     return jax.lax.dot_general(
         a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
+def _to_heads(x_ref):
+    """(bb, T, H, D) ref -> (bb*H, T, D) f32 value (one VMEM transpose)."""
+    x = x_ref[:].astype(jnp.float32)
+    bb, t, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(bb * h, t, d)
+
+
+def _from_heads(x, bb, h):
+    """(bb*H, T, D) -> (bb, T, H, D)."""
+    n, t, d = x.shape
+    return x.reshape(bb, h, t, d).transpose(0, 2, 1, 3)
+
+
 def _weights_for(q, k, sm_scale):
-    scores = _batched_dot(q, k, 2, 2) * sm_scale  # (bb, T, T)
-    return jax.nn.softmax(scores, axis=-1)
+    return jax.nn.softmax(_batched_dot(q, k, 2, 2) * sm_scale, axis=-1)
 
 
-def _dropout_bits(seed_ref, shape, head_stride):
-    pltpu.prng_seed(seed_ref[0],
-                    pl.program_id(0) * head_stride + pl.program_id(1))
+def _dropout_bits(seed_ref, shape):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
 
 
@@ -55,40 +68,36 @@ def _apply_dropout(weights, bits, dropout_rate):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, head_dim,
-                dropout_rate, num_heads):
+                dropout_rate):
     sm_scale = 1.0 / (head_dim ** 0.5)
-    q = q_ref[:, 0].astype(jnp.float32)  # (bb, T, D)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
+    bb, _t, h, _d = q_ref.shape
+    q, k, v = _to_heads(q_ref), _to_heads(k_ref), _to_heads(v_ref)
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, weights.shape, num_heads)
+        bits = _dropout_bits(seed_ref, weights.shape)
         weights, _ = _apply_dropout(weights, bits, dropout_rate)
-    out = _batched_dot(weights, v, 2, 1)  # (bb, T, D)
-    o_ref[:, 0] = out.astype(o_ref.dtype)
+    out = _batched_dot(weights, v, 2, 1)
+    o_ref[:] = _from_heads(out, bb, h).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, head_dim, dropout_rate,
-                num_heads):
+                dq_ref, dk_ref, dv_ref, *, head_dim, dropout_rate):
     sm_scale = 1.0 / (head_dim ** 0.5)
-    q = q_ref[:, 0].astype(jnp.float32)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
-    g = g_ref[:, 0].astype(jnp.float32)
+    bb, _t, h, _d = q_ref.shape
+    q, k, v = _to_heads(q_ref), _to_heads(k_ref), _to_heads(v_ref)
+    g = _to_heads(g_ref)
 
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, weights.shape, num_heads)
+        bits = _dropout_bits(seed_ref, weights.shape)
         dropped, keep = _apply_dropout(weights, bits, dropout_rate)
     else:
         dropped, keep = weights, None
 
-    # dv = dropped^T @ g   (contract over T_query)
+    # dv = dropped^T @ g (contract over T_query)
     dv = jax.lax.dot_general(
         dropped, g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    # d(dropped) = g @ v^T
     d_dropped = _batched_dot(g, v, 2, 2)
     if dropout_rate > 0.0:
         dw = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
@@ -100,31 +109,42 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     dk = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
+    dq_ref[:] = _from_heads(dq, bb, h).astype(dq_ref.dtype)
+    dk_ref[:] = _from_heads(dk, bb, h).astype(dk_ref.dtype)
+    dv_ref[:] = _from_heads(dv, bb, h).astype(dv_ref.dtype)
 
 
-def _choose_block_b(b: int) -> int:
+_VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem headroom (chip limit ~16M)
+
+
+def _choose_block_b(b: int, t: int, num_heads: int, head_dim: int,
+                    itemsize: int, n_io: int, n_f32: int,
+                    n_scores: int) -> int:
+    """Largest frame block whose VMEM footprint fits the scoped budget.
+
+    Model: n_io pipelined ref buffers (x2 double buffering) in the input
+    dtype, n_f32 f32 head-transposed copies, n_scores f32 (bbH, T, T)
+    score-sized tensors.
+    """
+    hd = num_heads * head_dim
     for cand in (8, 4, 2, 1):
-        if b % cand == 0:
+        if b % cand != 0:
+            continue
+        slab = cand * t * hd
+        est = (slab * (itemsize * n_io * 2 + 4 * n_f32)
+               + cand * num_heads * t * t * 4 * n_scores)
+        if est <= _VMEM_BUDGET:
             return cand
     return 1
 
 
-def _specs(block_b, t, head_dim):
-    # (bb, 1, T, D) blocks: last two dims are the full array dims (legal
-    # regardless of tiling), and each head slab is contiguous.
-    data = pl.BlockSpec((block_b, 1, t, head_dim), lambda i, h: (i, h, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _specs(block_b, t, num_heads, head_dim):
+    # Last two block dims equal the array dims -> legal for any tiling;
+    # the head axis transposes inside VMEM, never in the XLA graph.
+    data = pl.BlockSpec((block_b, t, num_heads, head_dim),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     return seed, data
-
-
-def _as_heads(x, num_heads):
-    """(B, T, H*D) -> (B, H, T, D): one transpose, amortized per kernel."""
-    b, t, hd = x.shape
-    return x.reshape(b, t, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -138,49 +158,55 @@ def mhsa_short(q, k, v, seed, num_heads: int, dropout_rate: float = 0.0,
     return out
 
 
+def _prep(x, num_heads):
+    b, t, hd = x.shape
+    return x.reshape(b, t, num_heads, hd // num_heads)  # free reshape
+
+
 def _mhsa_fwd(q, k, v, seed, num_heads, dropout_rate, interpret):
     b, t, hd = q.shape
     head_dim = hd // num_heads
-    block_b = _choose_block_b(b)
+    block_b = _choose_block_b(b, t, num_heads, head_dim, q.dtype.itemsize,
+                              n_io=4, n_f32=4, n_scores=3)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
-    seed_spec, data_spec = _specs(block_b, t, head_dim)
+    seed_spec, data_spec = _specs(block_b, t, num_heads, head_dim)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, head_dim=head_dim,
-                          dropout_rate=dropout_rate, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((b, num_heads, t, head_dim), q.dtype),
-        grid=(b // block_b, num_heads),
+                          dropout_rate=dropout_rate),
+        out_shape=jax.ShapeDtypeStruct((b, t, num_heads, head_dim), q.dtype),
+        grid=(b // block_b,),
         in_specs=[seed_spec, data_spec, data_spec, data_spec],
         out_specs=data_spec,
         interpret=interpret,
-    )(seed_arr, _as_heads(q, num_heads), _as_heads(k, num_heads),
-      _as_heads(v, num_heads))
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, hd)
-    return out, (q, k, v, seed)
+    )(seed_arr, _prep(q, num_heads), _prep(k, num_heads),
+      _prep(v, num_heads))
+    return out.reshape(b, t, hd), (q, k, v, seed)
 
 
 def _mhsa_bwd(num_heads, dropout_rate, interpret, residuals, g):
     q, k, v, seed = residuals
     b, t, hd = q.shape
     head_dim = hd // num_heads
-    block_b = _choose_block_b(b)
+    block_b = _choose_block_b(b, t, num_heads, head_dim, q.dtype.itemsize,
+                              n_io=7, n_f32=7, n_scores=6)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
-    seed_spec, data_spec = _specs(block_b, t, head_dim)
-    shape = jax.ShapeDtypeStruct((b, num_heads, t, head_dim), q.dtype)
+    seed_spec, data_spec = _specs(block_b, t, num_heads, head_dim)
+    shape = jax.ShapeDtypeStruct((b, t, num_heads, head_dim), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, head_dim=head_dim,
-                          dropout_rate=dropout_rate, num_heads=num_heads),
+                          dropout_rate=dropout_rate),
         out_shape=(shape, shape, shape),
-        grid=(b // block_b, num_heads),
+        grid=(b // block_b,),
         in_specs=[seed_spec] + [data_spec] * 4,
         out_specs=(data_spec, data_spec, data_spec),
         interpret=interpret,
-    )(seed_arr, _as_heads(q, num_heads), _as_heads(k, num_heads),
-      _as_heads(v, num_heads), _as_heads(g, num_heads))
-    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(b, t, hd)  # noqa: E731
+    )(seed_arr, _prep(q, num_heads), _prep(k, num_heads),
+      _prep(v, num_heads), _prep(g, num_heads))
+    merge = lambda x: x.reshape(b, t, hd)  # noqa: E731
     return merge(dq), merge(dk), merge(dv), None
 
 
