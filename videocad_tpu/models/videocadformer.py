@@ -75,6 +75,7 @@ class VideoCADFormerConfig:
     dtype: str = "float32"           # compute dtype: 'float32' | 'bfloat16'
     attention_impl: str = "xla"      # 'xla' | 'pallas' (decoder)
     vit_attention_impl: str = "xla"  # 'xla' | 'fused' (per-frame encoder)
+    ln_impl: str = "xla"             # 'xla' | 'pallas' (ViT LayerNorms)
     dropout_impl: str = "xla"        # 'xla' | 'pallas' (hardware-PRNG fused)
     preprocess_impl: str = "xla"     # 'xla' | 'pallas' (uint8 image inputs)
     frame_chunk: int = 0             # >0: scan frame encoding in chunks
@@ -120,7 +121,8 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False):
             emb_dropout=cfg.dropout)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
                    attention_impl=cfg.vit_attention_impl,
-                   dropout_impl=cfg.dropout_impl, name=name)
+                   dropout_impl=cfg.dropout_impl, ln_impl=cfg.ln_impl,
+                   name=name)
     if cfg.encoder == "resnet":
         cls = nn.remat(ResNet18GN, static_argnums=(2,)) if remat else ResNet18GN
         return cls(dtype=cfg.compute_dtype, name=name)

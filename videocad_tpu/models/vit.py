@@ -21,6 +21,27 @@ import jax.numpy as jnp
 from videocad_tpu.models.layers import MultiHeadAttention
 
 
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module backed by the Pallas fused kernel
+    (ops/layernorm.py). Same param names ('scale', 'bias'), f32 statistics,
+    eps 1e-6."""
+
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        from videocad_tpu.ops.layernorm import layer_norm
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+
+
+def _ln_ctor(ln_impl: str):
+    return FusedLayerNorm if ln_impl == "pallas" else nn.LayerNorm
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     image_size: int = 224
@@ -40,6 +61,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     dropout_impl: str = "xla"
+    ln_impl: str = "xla"
     sow_attention: bool = False
 
     def _drop(self, x, deterministic):
@@ -52,7 +74,8 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+        ln = _ln_ctor(self.ln_impl)
+        h = ln(dtype=self.dtype, name="attn_norm")(x)
         h = MultiHeadAttention(
             model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
             dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
@@ -62,7 +85,7 @@ class ViTBlock(nn.Module):
         )(h, h, deterministic=deterministic)
         x = x + self._drop(h, deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="mlp_norm")(x)
+        h = ln(dtype=self.dtype, name="mlp_norm")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = nn.gelu(h)
         h = self._drop(h, deterministic)
@@ -78,11 +101,13 @@ class ViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     dropout_impl: str = "xla"
+    ln_impl: str = "xla"
     sow_attention: bool = False
 
     @nn.compact
     def __call__(self, images, deterministic=True):
         cfg = self.config
+        ln = _ln_ctor(self.ln_impl)
         b, h, w, c = images.shape
         p = cfg.patch_size
         gh, gw = h // p, w // p
@@ -90,9 +115,9 @@ class ViT(nn.Module):
         x = images.astype(self.dtype).reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm_in")(x)
+        x = ln(dtype=self.dtype, name="patch_norm_in")(x)
         x = nn.Dense(cfg.dim, dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm_out")(x)
+        x = ln(dtype=self.dtype, name="patch_norm_out")(x)
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, cfg.dim), jnp.float32)
@@ -106,7 +131,8 @@ class ViT(nn.Module):
             x = ViTBlock(cfg, dtype=self.dtype,
                          attention_impl=self.attention_impl,
                          dropout_impl=self.dropout_impl,
+                         ln_impl=self.ln_impl,
                          sow_attention=self.sow_attention,
                          name=f"block_{i}")(x, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = ln(dtype=self.dtype, name="final_norm")(x)
         return x[:, 0]
