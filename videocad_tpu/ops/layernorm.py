@@ -2,13 +2,20 @@
 
 Profiling (tools/analyze_trace.py) shows XLA's LayerNorm fusions over the
 (B*T*tokens, 512) ViT activations running ~20x below HBM bandwidth (f32
-mean/var reduce fusions with narrow (N, 50) outputs). This kernel does the
-whole normalization in one VMEM pass per row block and saves (mean, rstd)
-for a one-pass backward; dgamma/dbeta accumulate across the sequential TPU
-grid into a single output block.
+mean/var reduce fusions with narrow outputs). This kernel does the whole
+normalization in one VMEM pass per row block; the backward recomputes the
+row statistics from x (cheaper than storing them — Mosaic dislikes
+single-lane stat outputs) and emits per-block dgamma/dbeta partials that a
+tiny XLA reduction sums.
 
 Matches flax nn.LayerNorm semantics: statistics in f32, eps inside the
 rsqrt, y = (x - mean) * rstd * scale + bias, outputs in the input dtype.
+
+Measured on v5e at the flagship shapes: 328 ms/step vs 288 ms with XLA's
+LayerNorm — the pallas_call boundary forfeits XLA's fusion of the
+surrounding residual adds, which outweighs the better reduce. Kept as an
+option (ln_impl='pallas') but OFF by default; the same lesson applied to
+the standalone hardware-PRNG dropout kernel (ops/dropout.py).
 """
 
 from __future__ import annotations
@@ -22,44 +29,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_ROWS = 1024
+_PARTIAL_ROWS = 8  # legal block sublane size for the per-block param grads
 
 
-def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref, *,
-                eps):
-    x = x_ref[:].astype(jnp.float32)
+def _stats(x, eps):
     mean = jnp.mean(x, axis=1, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    norm = centered * rstd
-    y = norm * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
-        jnp.float32)
+    return centered * rstd  # normalized
+
+
+def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)
+    norm = _stats(x, eps)
+    y = (norm * scale_ref[0].astype(jnp.float32)
+         + bias_ref[0].astype(jnp.float32))
     y_ref[:] = y.astype(y_ref.dtype)
-    mean_ref[:] = mean
-    rstd_ref[:] = rstd
 
 
-def _bwd_kernel(x_ref, scale_ref, mean_ref, rstd_ref, g_ref,
-                dx_ref, dscale_ref, dbias_ref, *, n_real, block_rows):
+def _bwd_kernel(x_ref, scale_ref, g_ref, dx_ref, dscale_ref, dbias_ref, *,
+                eps, n_real, block_rows):
     x = x_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     scale = scale_ref[0].astype(jnp.float32)
-    mean, rstd = mean_ref[:], rstd_ref[:]
-    norm = (x - mean) * rstd
+    norm = _stats(x, eps)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
 
     # Mask padded rows out of the parameter gradients.
     row = (pl.program_id(0) * block_rows
            + jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], 1), 0))
-    valid = (row < n_real).astype(jnp.float32)
-    gv = g * valid
+    gv = g * (row < n_real).astype(jnp.float32)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dscale_ref[:] = jnp.zeros_like(dscale_ref)
-        dbias_ref[:] = jnp.zeros_like(dbias_ref)
-
-    dscale_ref[:] += jnp.sum(gv * norm, axis=0, keepdims=True)
-    dbias_ref[:] += jnp.sum(gv, axis=0, keepdims=True)
+    d = g.shape[1]
+    pad = jnp.zeros((_PARTIAL_ROWS - 1, d), jnp.float32)
+    dscale_ref[0] = jnp.concatenate(
+        [jnp.sum(gv * norm, axis=0, keepdims=True), pad])
+    dbias_ref[0] = jnp.concatenate(
+        [jnp.sum(gv, axis=0, keepdims=True), pad])
 
     gs = g * scale
     m1 = jnp.mean(gs, axis=1, keepdims=True)
@@ -75,6 +85,13 @@ def _pad_rows(x, rows):
     return jnp.pad(x, ((0, rows - n), (0, 0)))
 
 
+def _row_block(n, d):
+    """Rows per block, bounded so rows*d f32 intermediates fit VMEM
+    (several x/g/norm/dx copies live simultaneously in the backward)."""
+    cap = max(8, ((512 * 1024) // d) // 8 * 8)
+    return min(_BLOCK_ROWS, cap, max(8, n))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def layer_norm(x, scale, bias, eps: float = 1e-6,
                interpret: Optional[bool] = None):
@@ -88,62 +105,60 @@ def _ln_fwd(x, scale, bias, eps, interpret):
     d = orig_shape[-1]
     flat = x.reshape(-1, d)
     n = flat.shape[0]
-    block = min(_BLOCK_ROWS, max(8, n))
+    block = _row_block(n, d)
     rows = -(-n // block) * block
-    flat_p = _pad_rows(flat, rows)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     row_spec = pl.BlockSpec((block, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    stat_spec = pl.BlockSpec((block, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((1, d), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-    y, mean, rstd = pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct((rows, d), x.dtype),
-                   jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, 1), jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid=(rows // block,),
         in_specs=[row_spec, param_spec, param_spec],
-        out_specs=(row_spec, stat_spec, stat_spec),
+        out_specs=row_spec,
         interpret=interpret,
-    )(flat_p, scale.reshape(1, d), bias.reshape(1, d))
-    return y[:n].reshape(orig_shape), (x, scale, mean, rstd)
+    )(_pad_rows(flat, rows), scale.reshape(1, d), bias.reshape(1, d))
+    return y[:n].reshape(orig_shape), (x, scale)
 
 
 def _ln_bwd(eps, interpret, residuals, g):
-    x, scale, mean, rstd = residuals
+    x, scale = residuals
     orig_shape = x.shape
     d = orig_shape[-1]
     flat = x.reshape(-1, d)
     n = flat.shape[0]
-    block = min(_BLOCK_ROWS, max(8, n))
+    block = _row_block(n, d)
     rows = -(-n // block) * block
+    grid = rows // block
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     row_spec = pl.BlockSpec((block, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    stat_spec = pl.BlockSpec((block, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((1, d), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-    dx, dscale, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_real=n, block_rows=block),
-        out_shape=(jax.ShapeDtypeStruct((rows, d), x.dtype),
-                   jax.ShapeDtypeStruct((1, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, d), jnp.float32)),
-        grid=(rows // block,),
-        in_specs=[row_spec, param_spec, stat_spec, stat_spec, row_spec],
-        out_specs=(row_spec, param_spec, param_spec),
+    partial_spec = pl.BlockSpec((1, _PARTIAL_ROWS, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    dx, dscale_parts, dbias_parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, n_real=n, block_rows=block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, d), x.dtype),
+            jax.ShapeDtypeStruct((grid, _PARTIAL_ROWS, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, _PARTIAL_ROWS, d), jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[row_spec, param_spec, row_spec],
+        out_specs=(row_spec, partial_spec, partial_spec),
         interpret=interpret,
-    )(_pad_rows(flat, rows), scale.reshape(1, d), mean, rstd,
+    )(_pad_rows(flat, rows), scale.reshape(1, d),
       _pad_rows(g.reshape(-1, d), rows))
-    return (dx[:n].reshape(orig_shape),
-            dscale.reshape(scale.shape).astype(scale.dtype),
-            dbias.reshape(scale.shape).astype(scale.dtype))
+    dscale = dscale_parts.sum(axis=(0, 1)).astype(scale.dtype)
+    dbias = dbias_parts.sum(axis=(0, 1)).astype(scale.dtype)
+    return dx[:n].reshape(orig_shape), dscale, dbias
 
 
 layer_norm.defvjp(_ln_fwd, _ln_bwd)
