@@ -119,9 +119,12 @@ class MultiHeadAttention(nn.Module):
             weights = nn.softmax(scores.astype(jnp.float32), axis=-1)
             self.sow("intermediates", "attention_weights", weights)
             out = jnp.einsum("bhts,bshd->bthd", weights.astype(q.dtype), v)
-        elif self.attention_impl == "fused" and mask is None:
+        elif (self.attention_impl == "fused" and mask is None
+              and (not use_dropout or jax.default_backend() == "tpu")):
             # Short-sequence fused MHSA: no layout transposes, in-kernel
             # softmax + hardware-PRNG dropout (ops/fused_attention.py).
+            # Off-TPU the kernel runs interpreted, where the hardware PRNG
+            # doesn't exist — dropout training falls back to XLA there.
             from videocad_tpu.ops.fused_attention import mhsa_short
             b, t = q.shape[:2]
             if use_dropout:
