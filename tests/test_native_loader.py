@@ -22,7 +22,9 @@ def vcb_store(tmp_path_factory):
     root = tmp_path_factory.mktemp("native")
     store = os.path.join(root, "pickles")
     write_synthetic_dataset(store, num_sequences=6, min_len=4, max_len=8,
-                            image_size=16, seed=3)
+                            image_size=16, seed=3,
+                            split_path=os.path.join(store,
+                                                    "dataset_split.json"))
     vcb_dir = os.path.join(root, "vcb")
     n = convert_store_to_vcb(store, vcb_dir)
     assert n == 6
@@ -68,6 +70,39 @@ def test_native_pipeline_matches_python_pipeline(vcb_store):
         np.testing.assert_array_equal(py_batch["cad_image"],
                                       nat_batch["cad_image"])
         assert py_batch["ids"] == nat_batch["ids"]
+
+
+def test_train_cli_with_native_loader(vcb_store, tmp_path, monkeypatch):
+    """End to end: the C++ loader drives a full training run via the CLI."""
+    import json
+    from tests.helpers import TINY_CONFIG
+
+    store, _ = vcb_store
+    split_path = os.path.join(store, "dataset_split.json")
+    config_path = str(tmp_path / "cfg.json")
+    with open(config_path, "w") as f:
+        json.dump({"tiny": dict(TINY_CONFIG, image_size=16, vit_patch=8,
+                                image_channels=1)}, f)
+    monkeypatch.chdir(tmp_path)
+    from videocad_tpu.cli.train import main
+    main([
+        "--dataset_path", store,
+        "--config_path", split_path,
+        "--model_config", config_path,
+        "--model_name", "tiny",
+        "--batch_size", "2",
+        "--epochs", "1",
+        "--data_parallel", "2",
+        "--buckets", "8",
+        "--native_loader",
+        "--vcb_dir", str(tmp_path / "vcb"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    runs = [d for d in os.listdir(tmp_path / "logs") if d.startswith("tiny_")]
+    assert runs
+    with open(tmp_path / "logs" / runs[0] / "results.json") as f:
+        assert json.load(f)["total_predictions"] > 0
 
 
 def test_native_shuffle_reshuffles_by_epoch(vcb_store):

@@ -30,6 +30,8 @@ from videocad_tpu.utils.io import load_json
 
 def build_pipelines(args, view_ids):
     splits = load_split_ids(args.config_path)
+    if getattr(args, "native_loader", False):
+        return _build_native_pipelines(args, splits)
     pipes = {}
     for split in ("train", "val", "test"):
         ds = VideoCADDataset(
@@ -42,6 +44,37 @@ def build_pipelines(args, view_ids):
             buckets=tuple(args.buckets or DEFAULT_BUCKETS),
             host_id=jax.process_index(), num_hosts=jax.process_count())
     return pipes
+
+
+def _build_native_pipelines(args, splits):
+    """C++ loader over .vcb shards (converted on demand from the store)."""
+    import os
+    from videocad_tpu.data.native import (
+        NativePipeline, convert_store_to_vcb, scan_vcb)
+
+    vcb_root = args.vcb_dir or os.path.join(args.dataset_path, "..",
+                                            "vcb_store")
+    bucket = max(args.buckets or DEFAULT_BUCKETS)
+    pipes = {}
+    for split in ("train", "val", "test"):
+        split_dir = os.path.join(vcb_root, split)
+        paths = scan_vcb(split_dir)
+        if not paths:
+            convert_store_to_vcb(args.dataset_path, split_dir,
+                                 ids=splits.get(split, []))
+            paths = scan_vcb(split_dir)
+        shape = _probe_shape(paths[0])
+        pipes[split] = NativePipeline(
+            paths, batch_size=args.batch_size, bucket_len=bucket,
+            image_shape=shape, shuffle=split == "train")
+    return pipes
+
+
+def _probe_shape(path):
+    import struct
+    with open(path, "rb") as f:
+        header = struct.unpack("<7I", f.read(28))
+    return (header[3], header[4], header[5])
 
 
 def main(argv=None):
@@ -70,6 +103,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", default="checkpoints")
     parser.add_argument("--log_dir", default="logs")
     parser.add_argument("--buckets", type=int, nargs="*", default=None)
+    parser.add_argument("--native_loader", action="store_true",
+                        help="use the C++ .vcb loader (converts the store "
+                             "on first use)")
+    parser.add_argument("--vcb_dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--enable_profiling", action="store_true")
     parser.add_argument("--sequential", action="store_true",
