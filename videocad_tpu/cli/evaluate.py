@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
 
 from videocad_tpu.cli.train import build_pipelines
 from videocad_tpu.experiment import default_loss_config

@@ -10,7 +10,6 @@ with no Python in the way.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import csv
 import json
 import os
 import time
-from typing import Any, Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
