@@ -107,7 +107,8 @@ def test_grayscale_normalize_matches_reference_math():
     expected = (img.astype(np.float32) @ w)[..., None] / 127.5 - 1.0
     np.testing.assert_allclose(out, expected, atol=1e-5)
     assert out.shape == (2, 4, 4, 1)
-    # BGR-as-RGB quirk reverses the weights
+    # BGR-as-RGB quirk: the reference applies PIL's RGB weights POSITIONALLY
+    # to BGR-stored frames (0.299*B + 0.587*G + 0.114*R) — same tuple, no
+    # reversal (reference main.py:103-108 over cv2-extracted frames).
     out_bgr = np.asarray(grayscale_normalize(img, bgr_as_rgb=True))
-    expected_bgr = (img.astype(np.float32) @ w[::-1])[..., None] / 127.5 - 1.0
-    np.testing.assert_allclose(out_bgr, expected_bgr, atol=1e-5)
+    np.testing.assert_allclose(out_bgr, expected, atol=1e-5)

@@ -40,13 +40,13 @@ class GPT2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         h = MultiHeadAttention(
             model_dim=self.model_dim, num_heads=self.num_heads,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             name="attn")(h, h, mask, deterministic)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.model_dim, dtype=self.dtype, name="mlp_in")(h)
         h = nn.gelu(h)
         h = nn.Dense(self.model_dim, dtype=self.dtype, name="mlp_out")(h)
@@ -79,14 +79,14 @@ class DecisionTransformer(nn.Module):
         self.embed_action = nn.Dense(cfg.hidden_size, dtype=dtype)
         self.embed_timestep = nn.Embed(cfg.max_ep_len, cfg.hidden_size,
                                        dtype=dtype)
-        self.embed_ln = nn.LayerNorm(dtype=dtype)
+        self.embed_ln = nn.LayerNorm(epsilon=1e-5, dtype=dtype)
         self.blocks = [
             GPT2Block(model_dim=cfg.hidden_size, num_heads=self.n_head,
                       dropout_rate=cfg.dropout, dtype=dtype,
                       name=f"h_{i}")
             for i in range(self.n_layer)
         ]
-        self.ln_f = nn.LayerNorm(dtype=dtype)
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=dtype)
         self.predict_cmd = nn.Dense(cfg.num_classes, dtype=jnp.float32)
         self.predict_params = nn.Dense(
             cfg.num_params * cfg.num_params_values, dtype=jnp.float32)

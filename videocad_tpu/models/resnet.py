@@ -24,8 +24,11 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # epsilon 1e-5 = torch GroupNorm default (the reference's
+        # convert_bn_to_gn); flax defaults to 1e-6.
         gn = lambda name, c: nn.GroupNorm(  # noqa: E731
-            num_groups=min(32, c), dtype=self.dtype, name=name)
+            num_groups=min(32, c), epsilon=1e-5, dtype=self.dtype,
+            name=name)
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -54,7 +57,8 @@ class ResNet18GN(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="stem_gn")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                         name="stem_gn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):

@@ -14,6 +14,7 @@ layout change feeding one big MXU matmul.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,10 +25,10 @@ from videocad_tpu.models.layers import MultiHeadAttention
 class FusedLayerNorm(nn.Module):
     """nn.LayerNorm-compatible module backed by the Pallas fused kernel
     (ops/layernorm.py). Same param names ('scale', 'bias'), f32 statistics,
-    eps 1e-6."""
+    eps 1e-5 (torch nn.LayerNorm default, for converted-checkpoint parity)."""
 
     dtype: jnp.dtype = jnp.float32
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -39,7 +40,11 @@ class FusedLayerNorm(nn.Module):
 
 
 def _ln_ctor(ln_impl: str):
-    return FusedLayerNorm if ln_impl == "pallas" else nn.LayerNorm
+    # epsilon 1e-5 = torch nn.LayerNorm default (the reference vit_pytorch
+    # encoder); flax's 1e-6 default adds small drift when loading converted
+    # torch checkpoints (ADVICE r1 low). The decoder already uses 1e-5.
+    ctor = FusedLayerNorm if ln_impl == "pallas" else nn.LayerNorm
+    return functools.partial(ctor, epsilon=1e-5)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,9 +56,22 @@ def _weights_for(q, k, sm_scale):
     return jax.nn.softmax(_batched_dot(q, k, 2, 2) * sm_scale, axis=-1)
 
 
-def _dropout_bits(seed_ref, shape):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+def _dropout_bits(seed_ref, block_b, num_heads, t):
+    """Block-size-invariant dropout bits for a (block_b*H, T, T) weights slab.
+
+    Seeded per ABSOLUTE batch row (seed, i*block_b + j), not per grid block:
+    the forward and backward kernels choose different block_b at realistic
+    shapes (their VMEM footprints differ), so any block-indexed stream would
+    regenerate a different mask in the backward — silently wrong gradients.
+    Per-row streams are identical for every legal block size.
+    """
+    base = pl.program_id(0) * block_b
+    rows = []
+    for j in range(block_b):
+        pltpu.prng_seed(seed_ref[0], base + j)
+        rows.append(pltpu.bitcast(
+            pltpu.prng_random_bits((num_heads, t, t)), jnp.uint32))
+    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
 
 def _apply_dropout(weights, bits, dropout_rate):
@@ -74,7 +87,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, head_dim,
     q, k, v = _to_heads(q_ref), _to_heads(k_ref), _to_heads(v_ref)
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, weights.shape)
+        bits = _dropout_bits(seed_ref, bb, h, weights.shape[-1])
         weights, _ = _apply_dropout(weights, bits, dropout_rate)
     out = _batched_dot(weights, v, 2, 1)
     o_ref[:] = _from_heads(out, bb, h).astype(o_ref.dtype)
@@ -89,7 +102,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
 
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, weights.shape)
+        bits = _dropout_bits(seed_ref, bb, h, weights.shape[-1])
         dropped, keep = _apply_dropout(weights, bits, dropout_rate)
     else:
         dropped, keep = weights, None

@@ -13,9 +13,14 @@ Two implementations:
     decode->normalize stage), tiled over rows.
 
 Channel-order note: the reference stores frames BGR (cv2) but converts with
-PIL as if RGB, so its frame grayscale weights are effectively reversed,
-while CAD images use correct BGR2GRAY weights (quirk). ``bgr_as_rgb``
-reproduces the frame behavior.
+PIL as if RGB, i.e. it applies PIL's (0.299, 0.587, 0.114) weights
+POSITIONALLY to the stored B,G,R channels — gray = 0.299*B + 0.587*G +
+0.114*R (quirk; /root/reference/main.py:103-108 over cv2-extracted frames).
+``bgr_as_rgb=True`` declares the input as BGR-stored-but-treated-as-RGB and
+reproduces exactly that: the plain tuple on the stored order, no reversal.
+CAD images in this repo load as genuine RGB (data/dataset.py read_image),
+where the same positional tuple is the CORRECT luma — so both paths use
+identical weights and the flag documents intent rather than changing math.
 """
 
 from __future__ import annotations
@@ -32,8 +37,12 @@ _RGB_WEIGHTS = (0.299, 0.587, 0.114)
 def _weights(channels: int, bgr_as_rgb: bool) -> jnp.ndarray:
     if channels == 1:
         return jnp.ones((1,), jnp.float32)
-    w = _RGB_WEIGHTS if not bgr_as_rgb else _RGB_WEIGHTS[::-1]
-    return jnp.asarray(w, jnp.float32)
+    # bgr_as_rgb applies the RGB tuple positionally to BGR data — which is
+    # the reference's PIL-on-cv2-frames behavior, NOT a channel reversal
+    # (ADVICE r1: a reversed tuple computed the *correct* luma and broke
+    # frame-preprocessing parity for converted reference checkpoints).
+    del bgr_as_rgb
+    return jnp.asarray(_RGB_WEIGHTS, jnp.float32)
 
 
 def grayscale_normalize(images: jnp.ndarray, bgr_as_rgb: bool = False
