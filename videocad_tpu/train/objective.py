@@ -54,6 +54,11 @@ class LossConfig:
     def from_class_weights(weight_data: dict, use_mse: bool = True,
                            above_quirk: bool = True) -> "LossConfig":
         """Build from a class_weights.json-shaped dict."""
+        if not isinstance(weight_data.get("Label"), (list, tuple)):
+            raise ValueError(
+                "class_weights 'Label' must be a list of 5 floats "
+                "(reference class_weights.json format), got "
+                f"{type(weight_data.get('Label')).__name__}")
         bins = tuple(
             tuple(weight_data[PARAM_NAMES[i + 1]]) if PARAM_NAMES[i + 1] in weight_data else None
             for i in range(NUM_PARAMS)

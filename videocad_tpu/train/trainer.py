@@ -136,6 +136,7 @@ class Trainer:
         for epoch in range(self.start_epoch, epochs):
             epoch_start = time.time()
             avg_loss, metrics = self._train_epoch(epoch, profiling)
+            self.logger.save(metrics, f"epoch_{epoch + 1}")
             self._log_epoch(epoch, epochs, avg_loss, metrics)
 
             if (epoch + 1) % self.config.get("save_frequency", 20) == 0:
@@ -171,47 +172,93 @@ class Trainer:
         return self.state.params
 
     def _train_epoch(self, epoch: int, profiling: bool = False):
-        running_loss, num_batches = 0.0, 0
-        metrics = init_metrics()
-        data_time = step_time = 0.0
+        """One epoch of fully-async stepping.
+
+        The hot loop performs NO host synchronization: loss and metric
+        counters accumulate on device (tiny elementwise adds fused by XLA
+        between steps) and are fetched only at ``log_frequency`` boundaries
+        and at epoch end. The reference (and round 1) fetched loss +
+        metrics every step, serializing host and device and defeating the
+        double-buffered prefetch.
+        """
+        import operator
+
+        from videocad_tpu.data.pipeline import device_prefetch
+
+        log_every = int(self.config.get("log_frequency", 50))
+        # Scheduled profiler windows (reference trainer.py:394-439's
+        # wait/warmup/active torch.profiler schedule): skip `wait` steps,
+        # let `warmup` more compile/settle, then trace `active` steps —
+        # usable on long epochs where a whole-epoch trace is not.
+        wait = int(self.config.get("profile_wait", 5))
+        warmup = int(self.config.get("profile_warmup", 5))
+        active = int(self.config.get("profile_active", 15))
         trace_dir = None
+        trace_started = trace_done = False
         if profiling:
+            try:
+                n_total = len(self.train_pipe)
+            except TypeError:
+                n_total = None
+            if n_total is not None and n_total < wait + warmup + active:
+                # Epoch shorter than the schedule: fall back to tracing the
+                # whole epoch rather than silently capturing nothing.
+                wait = warmup = 0
+                active = n_total
             trace_dir = os.path.join(self.logger.dir, "profile_traces",
                                      f"epoch{epoch}")
             os.makedirs(trace_dir, exist_ok=True)
-            jax.profiler.start_trace(trace_dir)
+
+        def host_batches():
+            for batch in self.train_pipe.epoch(epoch):
+                yield _array_batch(batch)
+
+        loss_sum = None
+        dev_counters = None
+        num_batches = 0
+        epoch_start = time.time()
         try:
-            from videocad_tpu.data.pipeline import device_prefetch
-
-            def host_batches():
-                for batch in self.train_pipe.epoch(epoch):
-                    yield _array_batch(batch)
-
-            timer = time.time()
             # Two batches stay in flight on device so step N+1's H2D
             # transfer overlaps step N's compute.
             for device_batch in device_prefetch(host_batches(),
                                                 mesh=self.mesh, size=2):
-                data_time += time.time() - timer
-                timer = time.time()
+                if (profiling and not trace_done
+                        and num_batches == wait + warmup):
+                    jax.profiler.start_trace(trace_dir)
+                    trace_started = True
                 self.state, loss, batch_metrics = self._train_step(
                     self.state, device_batch, self.rng)
-                loss = float(loss)
-                running_loss += loss
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                dev_counters = (batch_metrics if dev_counters is None
+                                else jax.tree_util.tree_map(
+                                    operator.add, dev_counters,
+                                    batch_metrics))
                 num_batches += 1
-                update_metrics(metrics, jax.device_get(batch_metrics))
-                step_time += time.time() - timer
-                if num_batches % 2 == 0:
-                    self._log_batch(epoch, num_batches, loss, metrics,
-                                    data_time / num_batches,
-                                    step_time / num_batches)
-                timer = time.time()
+                if (trace_started and not trace_done
+                        and num_batches >= wait + warmup + active):
+                    float(loss_sum)  # reliable device barrier (see bench.py)
+                    jax.profiler.stop_trace()
+                    trace_started, trace_done = False, True
+                    self.log(f"Profiler trace ({active} steps) saved "
+                             f"to {trace_dir}")
+                if log_every and num_batches % log_every == 0:
+                    avg, metrics = self._snapshot(loss_sum, num_batches,
+                                                  dev_counters)
+                    self._log_batch(epoch, num_batches, avg, metrics,
+                                    (time.time() - epoch_start) / num_batches)
         finally:
-            if profiling:
+            if trace_started:
                 jax.profiler.stop_trace()
                 self.log(f"Profiler trace saved to {trace_dir}")
-        avg = running_loss / max(num_batches, 1)
-        return avg, metrics
+        if num_batches == 0:
+            return 0.0, init_metrics()
+        return self._snapshot(loss_sum, num_batches, dev_counters)
+
+    def _snapshot(self, loss_sum, num_batches, dev_counters):
+        """Fetch the device-side accumulators once and derive percentages."""
+        metrics = init_metrics()
+        update_metrics(metrics, jax.device_get(dev_counters))
+        return float(loss_sum) / num_batches, metrics
 
     def _run_validation(self, epoch: int):
         val_metrics = None
@@ -436,12 +483,13 @@ class Trainer:
         return seq
 
     # ------------------------------------------------------------------
-    def _log_batch(self, epoch, batch_idx, loss, metrics, data_t, step_t):
+    def _log_batch(self, epoch, batch_idx, avg_loss, metrics, sec_per_step):
         self.logger.save(metrics, f"epoch_{epoch + 1}")
         self.log(f"Epoch [{epoch + 1}], Batch [{batch_idx}], "
-                 f"Loss: {loss:.4f}, CMD Acc: {metrics['cmd_accuracy']:.2f}%, "
+                 f"Loss: {avg_loss:.4f}, "
+                 f"CMD Acc: {metrics['cmd_accuracy']:.2f}%, "
                  f"Params Acc: {metrics['params_accuracy']:.2f}%, "
-                 f"step {step_t:.3f}s, load {data_t:.3f}s")
+                 f"{sec_per_step:.3f}s/step")
 
     def _log_epoch(self, epoch, epochs, avg_loss, metrics):
         acc = (100 * metrics["correct_predictions"]
