@@ -60,7 +60,7 @@ def main(argv=None):
 
     model_params = load_json(args.model_config)[args.model_name]
     view_ids = ["05", "09", "20"][: model_params.get("num_views", 0)]
-    pipes = build_pipelines(args, view_ids)
+    pipes = build_pipelines(args, view_ids, model_params)
 
     model = create_model(model_params)
     training_config = {

@@ -28,9 +28,17 @@ from videocad_tpu.parallel.mesh import create_mesh
 from videocad_tpu.utils.io import load_json
 
 
-def build_pipelines(args, view_ids):
+def build_pipelines(args, view_ids, model_params=None):
+    model_params = model_params or {}
+    gencad = bool(model_params.get("use_pretrained_cad_model", False))
+    image_size = model_params.get("image_size")
     splits = load_split_ids(args.config_path)
     if getattr(args, "native_loader", False):
+        if gencad:
+            raise ValueError(
+                "--native_loader does not support use_pretrained_cad_model "
+                "(GenCAD Canny preprocessing is host-Python; use the "
+                "default loader)")
         return _build_native_pipelines(args, splits)
     pipes = {}
     for split in ("train", "val", "test"):
@@ -38,7 +46,8 @@ def build_pipelines(args, view_ids):
             args.dataset_path, ids=splits.get(split, []),
             image_dir=args.image_dir,
             enable_random=args.enable_random and split == "train",
-            view_ids=view_ids, multiview_dir=args.multiview_dir)
+            view_ids=view_ids, multiview_dir=args.multiview_dir,
+            image_size=image_size, gencad=gencad)
         pipes[split] = DataPipeline(
             ds, batch_size=args.batch_size, shuffle=split == "train",
             buckets=tuple(args.buckets or DEFAULT_BUCKETS),
@@ -118,7 +127,7 @@ def main(argv=None):
     view_ids = ["05", "09", "20"][: model_params.get("num_views", 0)]
 
     mesh = create_mesh(args.data_parallel or None, args.model_parallel)
-    pipes = build_pipelines(args, view_ids)
+    pipes = build_pipelines(args, view_ids, model_params)
 
     # reference training_config defaults (main.py:77-101)
     training_config = {

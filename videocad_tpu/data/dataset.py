@@ -90,13 +90,60 @@ def read_image(path: str) -> np.ndarray:
         return np.asarray(img.convert("RGB"))
 
 
+def resize_u8(img: np.ndarray, size_hw) -> np.ndarray:
+    """Bilinear-resize a uint8 (H, W[, C]) image to (H', W')."""
+    from PIL import Image
+    h, w = size_hw
+    if img.shape[:2] == (h, w):
+        return img
+    return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
+def gencad_cad_image(rgb: np.ndarray) -> np.ndarray:
+    """The GenCAD CAD-image branch, host side: Canny(100, 200) -> 3-channel
+    -> Resize(shorter edge 256, bilinear) -> CenterCrop(256), returning
+    uint8 (256, 256, 3). Normalize(0.5 x3) happens on device
+    (ops/preprocess.normalize_only).
+
+    Bit-follows /root/reference/data_loader/data_loader.py:455-469
+    (torchvision Resize/CenterCrop semantics) on the RGB image the
+    reference produces via cv2.cvtColor(BGR2RGB); this repo's loader
+    already reads RGB.
+    """
+    import cv2
+    from PIL import Image
+
+    edges = cv2.Canny(rgb, 100, 200)
+    img = np.repeat(edges[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    # torchvision Resize(int): shorter edge -> 256, other scaled, bilinear
+    if h <= w:
+        nh, nw = 256, int(256 * w / h)
+    else:
+        nh, nw = int(256 * h / w), 256
+    pil = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    # torchvision CenterCrop(256)
+    left = int(round((nw - 256) / 2.0))
+    top = int(round((nh - 256) / 2.0))
+    return np.asarray(pil.crop((left, top, left + 256, top + 256)))
+
+
 class VideoCADDataset:
     """Per-sequence access: index -> {frames u8, actions, cad_image u8, id}."""
 
     def __init__(self, dataset_path: str, ids: Optional[Sequence[str]] = None,
                  image_dir: Optional[str] = None, enable_random: bool = False,
                  view_ids: Optional[Sequence[str]] = None,
-                 multiview_dir: Optional[str] = None, seed: int = 0):
+                 multiview_dir: Optional[str] = None, seed: int = 0,
+                 image_size: Optional[int] = None, gencad: bool = False):
+        """``image_size``: target (square) resolution — frames, CAD image
+        and views are resized at load when they differ (the reference
+        resizes every item: frame_transform Resize(224) main.py:103-108,
+        cv2.resize for CAD data_loader.py:474). None = resize CAD/views to
+        the frames' resolution (keeps mixed-size stores collatable) and
+        leave frames as stored. ``gencad``: the use_pretrained_cad_model
+        CAD branch — Canny edge image, 3-channel, 256x256
+        (data_loader.py:455-469)."""
         self.data_files = scan_dataset(dataset_path, ids)
         if not self.data_files:
             raise ValueError(f"No *_data.pkl under {dataset_path}")
@@ -104,6 +151,8 @@ class VideoCADDataset:
                                         enable_random, seed)
         self.view_ids = list(view_ids) if view_ids else []
         self.multiview_dir = multiview_dir
+        self.image_size = image_size
+        self.gencad = gencad
 
     def __len__(self) -> int:
         return len(self.data_files)
@@ -115,10 +164,20 @@ class VideoCADDataset:
         with open(self.data_files[idx], "rb") as f:
             data = pickle.load(f)
         file_id = self.sequence_id(idx)
+        frames = np.asarray(data["frames"], dtype=np.uint8)
+        if self.image_size and frames.shape[1:3] != (self.image_size,) * 2:
+            frames = np.stack([resize_u8(f, (self.image_size,) * 2)
+                               for f in frames])
+        # CAD/view target: explicit image_size, else the frames' resolution
+        # (a store whose PNGs differ in size must still collate).
+        target = ((self.image_size,) * 2 if self.image_size
+                  else tuple(frames.shape[1:3]))
+        cad = self.image_loader.get_image(file_id)
+        cad = gencad_cad_image(cad) if self.gencad else resize_u8(cad, target)
         item = {
-            "frames": np.asarray(data["frames"], dtype=np.uint8),
+            "frames": frames,
             "actions": np.asarray(data["actions"], dtype=np.float32),
-            "cad_image": self.image_loader.get_image(file_id),
+            "cad_image": cad,
             "id": file_id,
         }
         if self.view_ids:
@@ -127,7 +186,7 @@ class VideoCADDataset:
             for view_id in self.view_ids:
                 path = os.path.join(base_dir, file_id[:4],
                                     f"{file_id}_{view_id}.png")
-                views.append(read_image(path))
+                views.append(resize_u8(read_image(path), target))
             item["multiview_images"] = np.stack(views)
         return item
 

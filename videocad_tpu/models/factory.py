@@ -55,10 +55,16 @@ def example_inputs(cfg: VideoCADFormerConfig, batch: int = 1,
     """A zero batch with the model's input contract (NHWC frames)."""
     h = w = cfg.image_size
     c = cfg.image_channels
+    if cfg.use_pretrained_cad_model:
+        # GenCAD branch: the CAD input is the 3-channel 256x256 edge image
+        # (data/dataset.py gencad_cad_image).
+        cad = jnp.zeros((batch, 256, 256, 3), jnp.float32)
+    else:
+        cad = jnp.zeros((batch, h, w, c), jnp.float32)
     inputs = {
         "frames": jnp.zeros((batch, seq_len, h, w, c), jnp.float32),
         "actions": jnp.zeros((batch, seq_len, cfg.act_dim), jnp.float32),
-        "cad_image": jnp.zeros((batch, h, w, c), jnp.float32),
+        "cad_image": cad,
         "timesteps": jnp.tile(jnp.arange(seq_len)[None], (batch, 1)),
     }
     if cfg.num_views > 0:

@@ -110,14 +110,15 @@ class VideoCADFormerConfig:
         return n
 
 
-def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False):
+def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False,
+                  image_size: int = None, channels: int = None):
     if cfg.encoder == "vit":
         cls = nn.remat(ViT, static_argnums=(2,)) if remat else ViT
         vit_cfg = ViTConfig(
-            image_size=cfg.image_size, patch_size=cfg.vit_patch,
+            image_size=image_size or cfg.image_size, patch_size=cfg.vit_patch,
             dim=cfg.vit_dim, depth=cfg.vit_depth, heads=cfg.vit_heads,
             head_dim=cfg.vit_head_dim, mlp_dim=cfg.vit_mlp_dim,
-            channels=cfg.image_channels, dropout=cfg.dropout,
+            channels=channels or cfg.image_channels, dropout=cfg.dropout,
             emb_dropout=cfg.dropout)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
                    attention_impl=cfg.vit_attention_impl,
@@ -144,7 +145,17 @@ class VideoCADFormer(nn.Module):
         if cfg.enable_past_states:
             self.state_encoder = _make_encoder(
                 cfg, "state_encoder", remat=cfg.remat_encoder)
-        self.cad_encoder = _make_encoder(cfg, "cad_encoder")
+        if cfg.use_pretrained_cad_model:
+            # GenCAD branch: the CAD input is the 3-channel 256x256 Canny
+            # edge image (data/dataset.py gencad_cad_image). The reference
+            # intended a pretrained "gencad" encoder here but its factory
+            # raises ValueError (quirk 7, trajectory_model.py:40, 73-74);
+            # we instead build the configured encoder shaped for that
+            # input, frozen via the zero-LR optimizer group (train/state).
+            self.cad_encoder = _make_encoder(cfg, "cad_encoder",
+                                             image_size=256, channels=3)
+        else:
+            self.cad_encoder = _make_encoder(cfg, "cad_encoder")
         self.embed_state = nn.Dense(cfg.hidden_size, dtype=dtype)
         self.embed_image = nn.Dense(cfg.hidden_size, dtype=dtype)
         self.embed_action = nn.Dense(cfg.hidden_size, dtype=dtype)
@@ -181,7 +192,8 @@ class VideoCADFormer(nn.Module):
         """
         cfg = self.config
         frames = maybe_preprocess(frames, bgr_as_rgb=cfg.bgr_frames_as_rgb,
-                                  impl=cfg.preprocess_impl)
+                                  impl=cfg.preprocess_impl,
+                                  target_size=(cfg.image_size,) * 2)
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
 
@@ -217,14 +229,22 @@ class VideoCADFormer(nn.Module):
             if cfg.enable_past_actions:
                 streams.append(ui_emb)
 
-        cad_image = maybe_preprocess(cad_image, impl=cfg.preprocess_impl)
+        if cfg.use_pretrained_cad_model:
+            # GenCAD edge image: normalize all 3 channels, no grayscale
+            # (reference Normalize(0.5 x3), data_loader.py:455-469).
+            cad_image = maybe_preprocess(cad_image, impl=cfg.preprocess_impl,
+                                         mode="normalize_only")
+        else:
+            cad_image = maybe_preprocess(cad_image, impl=cfg.preprocess_impl,
+                                         target_size=(cfg.image_size,) * 2)
         cad_emb = self.cad_encoder(cad_image, deterministic=deterministic)
         cad_emb = self.embed_image(cad_emb)[:, None, :]
         streams.append(jnp.tile(cad_emb, (1, t, 1)))
 
         if multiview_images is not None and cfg.num_views > 0:
             multiview_images = maybe_preprocess(
-                multiview_images, impl=cfg.preprocess_impl)
+                multiview_images, impl=cfg.preprocess_impl,
+                target_size=(cfg.image_size,) * 2)
             b, v = multiview_images.shape[:2]
             flat = multiview_images.reshape((b * v,) + multiview_images.shape[2:])
             mv = self.cad_encoder(flat, deterministic=deterministic)
