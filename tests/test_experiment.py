@@ -64,3 +64,32 @@ def test_named_config_run_writes_results(pipes):
     run = [d for d in os.listdir(os.path.join(root, "named"))
            if d.startswith("tiny_")][0]
     assert os.path.exists(os.path.join(root, "named", run, "results.json"))
+
+
+def test_warm_start_from_torch_pt(pipes, tmp_path):
+    """experiment_params['state_dict'] accepting a reference .pt checkpoint
+    (reference experiment.py:61-71), converted on the fly."""
+    import torch
+    from tests.test_full_model_parity import MODEL_CONFIG, TorchRefModel
+
+    root, p = pipes
+    torch.manual_seed(0)
+    oracle = TorchRefModel(modern_vit=True).eval()
+    ckpt_path = os.path.join(tmp_path, "best_model.pt")
+    torch.save({"model_state_dict": {
+        "module." + k: v for k, v in oracle.state_dict().items()},
+        "epoch": 3}, ckpt_path)
+
+    exp = _experiment(root, p, "warm")
+    exp.training_config["epochs"] = 0  # load + evaluate only
+    results = exp.run_with_params(
+        dict(MODEL_CONFIG, state_dict=ckpt_path), "warm")
+    assert results["total_predictions"] > 0
+
+    # A checkpoint that doesn't match the config must fail loudly, proving
+    # the conversion path actually runs.
+    bad_path = os.path.join(tmp_path, "bad.pt")
+    torch.save({"model_state_dict": {"embed_state.weight":
+                                     torch.zeros(2, 2)}}, bad_path)
+    with pytest.raises(KeyError):
+        exp.run_with_params(dict(MODEL_CONFIG, state_dict=bad_path), "warm2")

@@ -90,6 +90,9 @@ def test_add_action_noise_touches_only_valid_slots():
 def test_frozen_param_groups_zero_cad_lr():
     model, state, tx, batch = _setup(
         overrides={"use_pretrained_cad_model": True})
+    # gencad mode: the CAD input is the 3-channel 256x256 edge image
+    batch = dict(batch, cad_image=jnp.asarray(np.random.default_rng(5)
+                 .integers(0, 256, (2, 256, 256, 3), dtype=np.uint8)))
     state, tx = create_train_state(
         state.params, {"lr": 1e-3}, freeze_cad=True)
     step = jax.jit(make_train_step(model, tx, LOSS_CFG), donate_argnums=(0,))

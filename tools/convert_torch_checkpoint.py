@@ -79,35 +79,70 @@ def convert_decoder(sd: Dict, num_layers: int, prefix="transformer_decoder"
     return layers
 
 
+def detect_config_overrides(state_dict: Dict) -> Dict:
+    """Model-config overrides implied by the checkpoint's vit_pytorch
+    generation. Merge into the model config BEFORE create_model so the
+    module structure matches the converted params."""
+    sd = strip_prefixes(state_dict)
+    prefix = ("state_embedding_model"
+              if any(k.startswith("state_embedding_model.") for k in sd)
+              else "cad_embedding_model")
+    overrides = {}
+    if f"{prefix}.to_patch_embedding.1.weight" in sd and \
+            f"{prefix}.to_patch_embedding.2.weight" not in sd:
+        overrides["vit_patch_norm"] = False
+    if f"{prefix}.transformer.norm.weight" not in sd and \
+            any(k.startswith(f"{prefix}.transformer.") for k in sd):
+        overrides["vit_final_norm"] = False
+    return overrides
+
+
 def convert_vit(sd: Dict, prefix: str, depth: int) -> Dict:
     """vit_pytorch ViT -> videocad_tpu.models.vit.ViT parameters.
 
-    Supports both namings: modern (attention/FF own their LayerNorms:
-    layers.i.0.norm, layers.i.1.net.0) and legacy PreNorm wrappers
-    (layers.i.0.fn.*, norm at layers.i.0.norm).
+    Supports both naming generations (the reference pins no version,
+    requirements.txt:vit-pytorch):
+      * modern (>= the LN-patch-embed refactor): to_patch_embedding =
+        Rearrange/LN/Linear/LN; Attention and FeedForward own their norms
+        (layers.i.0.norm, layers.i.1.net.0 is a LayerNorm); a final
+        transformer.norm exists.
+      * legacy (PreNorm era): to_patch_embedding = Rearrange/Linear (no
+        LNs); blocks are PreNorm-wrapped (layers.i.0.fn.to_qkv, norm at
+        layers.i.0.norm; FF at layers.i.1.fn.net.0 / net.3); the final
+        LayerNorm lived in mlp_head, which the reference replaces with
+        Identity (trajectory_model.py:66) — so there is none. Build the
+        module with detect_config_overrides(state_dict) merged into the
+        model config (vit_patch_norm / vit_final_norm False).
     """
     def has(key):
         return f"{prefix}.{key}" in sd
 
-    params = {
-        "patch_norm_in": layernorm(sd, f"{prefix}.to_patch_embedding.1"),
-        "patch_embed": linear(sd, f"{prefix}.to_patch_embedding.2"),
-        "patch_norm_out": layernorm(sd, f"{prefix}.to_patch_embedding.3"),
-        "pos_embedding": _np(sd[f"{prefix}.pos_embedding"]),
-        "cls_token": _np(sd[f"{prefix}.cls_token"]),
-    }
+    modern_patch = has("to_patch_embedding.2.weight")
+    if modern_patch:
+        params = {
+            "patch_norm_in": layernorm(sd, f"{prefix}.to_patch_embedding.1"),
+            "patch_embed": linear(sd, f"{prefix}.to_patch_embedding.2"),
+            "patch_norm_out": layernorm(sd, f"{prefix}.to_patch_embedding.3"),
+        }
+    else:
+        # Legacy patch embedding is Rearrange/Linear only — the module must
+        # be built with vit_patch_norm=False (detect_config_overrides).
+        params = {"patch_embed": linear(sd, f"{prefix}.to_patch_embedding.1")}
+    params["pos_embedding"] = _np(sd[f"{prefix}.pos_embedding"])
+    params["cls_token"] = _np(sd[f"{prefix}.cls_token"])
+
     for i in range(depth):
         attn = f"transformer.layers.{i}.0"
         ff = f"transformer.layers.{i}.1"
         legacy = has(f"{attn}.fn.to_qkv.weight")
         a = f"{attn}.fn" if legacy else attn
-        f_ = f"{ff}.fn" if legacy else ff
 
         qkv = _np(sd[f"{prefix}.{a}.to_qkv.weight"])  # (3*inner, dim)
         inner = qkv.shape[0] // 3
         block = {
-            "attn_norm": layernorm(sd, f"{prefix}.{a}.norm" if not legacy
-                                   else f"{prefix}.{attn}.norm"),
+            # PreNorm's norm and the modern in-module norm share the
+            # "layers.i.0.norm" key
+            "attn_norm": layernorm(sd, f"{prefix}.{attn}.norm"),
             "attn": {
                 "query": {"kernel": qkv[:inner].T},
                 "key": {"kernel": qkv[inner:2 * inner].T},
@@ -115,13 +150,21 @@ def convert_vit(sd: Dict, prefix: str, depth: int) -> Dict:
                 "out": linear(sd, f"{prefix}.{a}.to_out.0"),
             },
         }
-        net = f"{prefix}.{f_}.net"
-        block["mlp_norm"] = layernorm(sd, f"{net}.0" if has(f"{f_}.net.0.weight")
-                                      else f"{prefix}.{ff}.norm")
-        block["mlp_in"] = linear(sd, f"{net}.1")
-        block["mlp_out"] = linear(sd, f"{net}.4")
+        if legacy:
+            # legacy FeedForward.net = [Linear, GELU, Dropout, Linear, Drop]
+            block["mlp_norm"] = layernorm(sd, f"{prefix}.{ff}.norm")
+            block["mlp_in"] = linear(sd, f"{prefix}.{ff}.fn.net.0")
+            block["mlp_out"] = linear(sd, f"{prefix}.{ff}.fn.net.3")
+        else:
+            # modern FeedForward.net = [LN, Linear, GELU, Drop, Linear, Drop]
+            block["mlp_norm"] = layernorm(sd, f"{prefix}.{ff}.net.0")
+            block["mlp_in"] = linear(sd, f"{prefix}.{ff}.net.1")
+            block["mlp_out"] = linear(sd, f"{prefix}.{ff}.net.4")
         params[f"block_{i}"] = block
-    params["final_norm"] = layernorm(sd, f"{prefix}.transformer.norm")
+
+    if has("transformer.norm.weight"):
+        params["final_norm"] = layernorm(sd, f"{prefix}.transformer.norm")
+    # else: legacy — no final norm (vit_final_norm=False structurally)
     return params
 
 

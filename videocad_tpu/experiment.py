@@ -80,13 +80,31 @@ class Experiment:
             save_json(training_config,
                       os.path.join(exp_dir, "training_config.json"))
 
-        model = create_model(experiment_params)
         params = None
-        if "state_dict" in experiment_params:
-            # warm start from a checkpoint path (experiment.py:61-71)
+        state_dict_path = experiment_params.get("state_dict")
+        if state_dict_path and state_dict_path.endswith((".pt", ".pth")):
+            # Warm start directly from a reference torch checkpoint
+            # (experiment.py:61-71 accepts a .pt path) — converted on the
+            # fly; generation quirks (legacy vit naming) are auto-detected
+            # and folded into the model config.
+            import torch
+            from tools.convert_torch_checkpoint import (
+                convert_state_dict, detect_config_overrides)
+            ckpt = torch.load(state_dict_path, map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("model_state_dict", ckpt)
+            experiment_params = dict(experiment_params,
+                                     **detect_config_overrides(sd))
+            model = create_model(experiment_params)
+            params = jax.tree_util.tree_map(
+                lambda x: jax.numpy.asarray(x),
+                convert_state_dict(sd, experiment_params))
+        else:
+            model = create_model(experiment_params)
+        if state_dict_path and params is None:
+            # warm start from an Orbax checkpoint dir (experiment.py:61-71)
             from videocad_tpu.train.checkpoint import CheckpointHandler
-            base, ckpt_name = os.path.split(
-                experiment_params["state_dict"].rstrip("/"))
+            base, ckpt_name = os.path.split(state_dict_path.rstrip("/"))
             handler = CheckpointHandler(os.path.basename(base),
                                         os.path.dirname(base) or ".")
             init = init_model(model, jax.random.PRNGKey(

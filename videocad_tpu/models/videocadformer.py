@@ -71,6 +71,11 @@ class VideoCADFormerConfig:
     vit_heads: int = 16
     vit_head_dim: int = 64
     vit_mlp_dim: int = 512
+    # vit_pytorch generation flags (legacy PreNorm-era checkpoints have no
+    # patch-projection LayerNorms and no final transformer norm); see
+    # tools/convert_torch_checkpoint.detect_config_overrides
+    vit_patch_norm: bool = True
+    vit_final_norm: bool = True
     # TPU knobs
     dtype: str = "float32"           # compute dtype: 'float32' | 'bfloat16'
     attention_impl: str = "xla"      # 'xla' | 'pallas' (decoder)
@@ -119,7 +124,8 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False,
             dim=cfg.vit_dim, depth=cfg.vit_depth, heads=cfg.vit_heads,
             head_dim=cfg.vit_head_dim, mlp_dim=cfg.vit_mlp_dim,
             channels=channels or cfg.image_channels, dropout=cfg.dropout,
-            emb_dropout=cfg.dropout)
+            emb_dropout=cfg.dropout, patch_norm=cfg.vit_patch_norm,
+            final_norm=cfg.vit_final_norm)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
                    attention_impl=cfg.vit_attention_impl,
                    dropout_impl=cfg.dropout_impl, ln_impl=cfg.ln_impl,

@@ -59,6 +59,11 @@ class ViTConfig:
     channels: int = 1
     dropout: float = 0.1
     emb_dropout: float = 0.1
+    # Structure flags for vit_pytorch checkpoint generations: the legacy
+    # (PreNorm-era) ViT has no LayerNorms around the patch projection and
+    # no final transformer norm (it lived in the stripped mlp_head).
+    patch_norm: bool = True
+    final_norm: bool = True
 
 
 class ViTBlock(nn.Module):
@@ -92,7 +97,9 @@ class ViTBlock(nn.Module):
 
         h = ln(dtype=self.dtype, name="mlp_norm")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
-        h = nn.gelu(h)
+        # exact erf GELU (torch nn.GELU default) — flax's tanh approximation
+        # adds ~1e-3 drift against converted vit_pytorch checkpoints
+        h = nn.gelu(h, approximate=False)
         h = self._drop(h, deterministic)
         h = nn.Dense(cfg.dim, dtype=self.dtype, name="mlp_out")(h)
         h = self._drop(h, deterministic)
@@ -120,9 +127,11 @@ class ViT(nn.Module):
         x = images.astype(self.dtype).reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
 
-        x = ln(dtype=self.dtype, name="patch_norm_in")(x)
+        if cfg.patch_norm:
+            x = ln(dtype=self.dtype, name="patch_norm_in")(x)
         x = nn.Dense(cfg.dim, dtype=self.dtype, name="patch_embed")(x)
-        x = ln(dtype=self.dtype, name="patch_norm_out")(x)
+        if cfg.patch_norm:
+            x = ln(dtype=self.dtype, name="patch_norm_out")(x)
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, cfg.dim), jnp.float32)
@@ -139,5 +148,6 @@ class ViT(nn.Module):
                          ln_impl=self.ln_impl,
                          sow_attention=self.sow_attention,
                          name=f"block_{i}")(x, deterministic)
-        x = ln(dtype=self.dtype, name="final_norm")(x)
+        if cfg.final_norm:
+            x = ln(dtype=self.dtype, name="final_norm")(x)
         return x[:, 0]
