@@ -81,28 +81,44 @@ struct Batch {
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch_size, int bucket_len,
-         int h, int w, int c, int act_dim, int prefetch, int num_threads)
+         int h, int w, int c, int act_dim, int prefetch, int num_threads,
+         int host_id, int num_hosts)
       : paths_(std::move(paths)),
         batch_size_(batch_size),
         bucket_len_(bucket_len),
         h_(h), w_(w), c_(c), act_dim_(act_dim),
         prefetch_(prefetch < 1 ? 1 : prefetch),
-        num_threads_(num_threads < 1 ? 1 : num_threads) {}
+        num_threads_(num_threads < 1 ? 1 : num_threads),
+        host_id_(host_id < 0 ? 0 : host_id),
+        num_hosts_(num_hosts < 1 ? 1 : num_hosts) {}
 
   ~Loader() { stop(); }
 
   int num_batches() const {
-    return static_cast<int>(paths_.size()) / batch_size_;
+    // Per-host share (DistributedSampler semantics: every host consumes
+    // 1/num_hosts of the globally shuffled order — reference
+    // data_loader.py:177-183), drop_last.
+    return static_cast<int>(paths_.size() / num_hosts_) / batch_size_;
   }
+
+  long long skipped_rows() const { return skipped_rows_.load(); }
 
   void start_epoch(int epoch, uint64_t seed, bool shuffle) {
     stop();
-    order_.resize(paths_.size());
-    for (size_t i = 0; i < order_.size(); ++i) order_[i] = i;
+    // Global permutation first, then this host's strided slice — hosts see
+    // different, disjoint subsets each epoch, reshuffled globally.
+    std::vector<size_t> global(paths_.size());
+    for (size_t i = 0; i < global.size(); ++i) global[i] = i;
     if (shuffle) {
       std::mt19937_64 rng(seed + static_cast<uint64_t>(epoch));
-      std::shuffle(order_.begin(), order_.end(), rng);
+      std::shuffle(global.begin(), global.end(), rng);
     }
+    order_.clear();
+    for (size_t i = host_id_; i < global.size();
+         i += static_cast<size_t>(num_hosts_)) {
+      order_.push_back(global[i]);
+    }
+    skipped_rows_.store(0);
     next_batch_.store(0);
     emitted_ = 0;
     stopping_ = false;
@@ -179,7 +195,14 @@ class Loader {
           seq.w != static_cast<uint32_t>(w_) ||
           seq.c != static_cast<uint32_t>(c_) ||
           seq.act_dim != static_cast<uint32_t>(act_dim_)) {
-        continue;  // leave the padded row; Python validates shapes upfront
+        // Leave the padded row (all actions -1 => fully masked in the
+        // loss) but COUNT it — silent corruption must surface; the Python
+        // side raises above its threshold (data/native.py).
+        skipped_rows_.fetch_add(1);
+        std::fprintf(stderr,
+                     "[vcb_loader] skipping corrupt/mismatched row: %s\n",
+                     paths_[idx].c_str());
+        continue;
       }
       const uint32_t t = seq.t < static_cast<uint32_t>(bucket_len_)
                              ? seq.t
@@ -210,7 +233,8 @@ class Loader {
 
   std::vector<std::string> paths_;
   const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, prefetch_,
-      num_threads_;
+      num_threads_, host_id_, num_hosts_;
+  std::atomic<long long> skipped_rows_{0};
   std::vector<size_t> order_;
   std::vector<std::thread> workers_;
   std::atomic<int> next_batch_{0};
@@ -227,10 +251,15 @@ extern "C" {
 
 void* vcb_loader_create(const char** paths, int num_paths, int batch_size,
                         int bucket_len, int h, int w, int c, int act_dim,
-                        int prefetch, int num_threads) {
+                        int prefetch, int num_threads, int host_id,
+                        int num_hosts) {
   std::vector<std::string> path_vec(paths, paths + num_paths);
   return new Loader(std::move(path_vec), batch_size, bucket_len, h, w, c,
-                    act_dim, prefetch, num_threads);
+                    act_dim, prefetch, num_threads, host_id, num_hosts);
+}
+
+long long vcb_loader_skipped_rows(void* handle) {
+  return static_cast<Loader*>(handle)->skipped_rows();
 }
 
 int vcb_loader_num_batches(void* handle) {

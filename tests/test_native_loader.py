@@ -114,3 +114,47 @@ def test_native_shuffle_reshuffles_by_epoch(vcb_store):
     ids1 = [b["ids"] for b in native.epoch(1)]
     assert ids0 == ids0_again  # deterministic per epoch
     assert ids0 != ids1        # reshuffled across epochs
+
+
+def test_host_sharding_disjoint_and_complete(vcb_store):
+    """Two hosts consume disjoint slices of the globally shuffled order
+    that together cover the dataset (DistributedSampler semantics,
+    reference data_loader.py:177-183)."""
+    _, vcb_dir = vcb_store
+    paths = scan_vcb(vcb_dir)
+    seen = {}
+    for host in (0, 1):
+        pipe = NativePipeline(paths, batch_size=1, bucket_len=8,
+                              image_shape=(16, 16, 3), shuffle=True, seed=7,
+                              host_id=host, num_hosts=2)
+        assert len(pipe) == len(paths) // 2
+        seen[host] = {sid for b in pipe.epoch(0) for sid in b["ids"]}
+    assert seen[0].isdisjoint(seen[1])
+    all_ids = {os.path.basename(p).split("_")[0] for p in paths}
+    assert seen[0] | seen[1] == all_ids
+
+
+def test_corrupt_vcb_rows_counted_and_raise(vcb_store, tmp_path):
+    _, vcb_dir = vcb_store
+    import shutil
+    bad_dir = str(tmp_path / "bad")
+    shutil.copytree(vcb_dir, bad_dir)
+    paths = scan_vcb(bad_dir)
+    # Truncate one file mid-frames: unreadable row.
+    with open(paths[0], "r+b") as f:
+        f.truncate(64)
+
+    pipe = NativePipeline(paths, batch_size=1, bucket_len=8,
+                          image_shape=(16, 16, 3), shuffle=False)
+    with pytest.raises(RuntimeError, match="skipped 1 corrupt"):
+        for _ in pipe.epoch(0):
+            pass
+    assert pipe.skipped_rows() == 1
+
+    # With an explicit allowance the epoch completes and reports the count.
+    pipe2 = NativePipeline(paths, batch_size=1, bucket_len=8,
+                           image_shape=(16, 16, 3), shuffle=False,
+                           max_skipped_rows=1)
+    n = sum(1 for _ in pipe2.epoch(0))
+    assert n == len(paths)
+    assert pipe2.skipped_rows() == 1

@@ -75,7 +75,8 @@ def _build_native_pipelines(args, splits):
         shape = _probe_shape(paths[0])
         pipes[split] = NativePipeline(
             paths, batch_size=args.batch_size, bucket_len=bucket,
-            image_shape=shape, shuffle=split == "train")
+            image_shape=shape, shuffle=split == "train",
+            host_id=jax.process_index(), num_hosts=jax.process_count())
     return pipes
 
 

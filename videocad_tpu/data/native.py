@@ -46,9 +46,12 @@ def load_library():
     lib.vcb_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.vcb_loader_num_batches.restype = ctypes.c_int
     lib.vcb_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.vcb_loader_skipped_rows.restype = ctypes.c_longlong
+    lib.vcb_loader_skipped_rows.argtypes = [ctypes.c_void_p]
     lib.vcb_loader_start_epoch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
     lib.vcb_loader_next.restype = ctypes.c_int
@@ -127,7 +130,14 @@ class NativePipeline:
     def __init__(self, paths: Sequence[str], batch_size: int, bucket_len: int,
                  image_shape=(224, 224, 3), act_dim: int = 7,
                  shuffle: bool = True, seed: int = 42, prefetch: int = 2,
-                 num_threads: int = 2):
+                 num_threads: int = 2, host_id: int = 0, num_hosts: int = 1,
+                 max_skipped_rows: int = 0):
+        """``host_id``/``num_hosts``: per-host sharding of the globally
+        shuffled order (the reference DistributedSampler semantics,
+        data_loader.py:177-183) — on a pod each process consumes a
+        disjoint 1/num_hosts slice, reshuffled every epoch.
+        ``max_skipped_rows``: corrupt/mismatched .vcb rows are padded out
+        and counted; more than this many per epoch raises."""
         if not paths:
             raise ValueError("no .vcb files given")
         self.lib = load_library()
@@ -138,11 +148,13 @@ class NativePipeline:
         self.act_dim = act_dim
         self.shuffle = shuffle
         self.seed = seed
+        self.max_skipped_rows = max_skipped_rows
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
         self._handle = self.lib.vcb_loader_create(
             arr, len(self.paths), batch_size, bucket_len,
-            self.h, self.w, self.c, act_dim, prefetch, num_threads)
+            self.h, self.w, self.c, act_dim, prefetch, num_threads,
+            host_id, num_hosts)
 
     def __len__(self) -> int:
         return self.lib.vcb_loader_num_batches(self._handle)
@@ -163,6 +175,13 @@ class NativePipeline:
                 cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             if not ok:
+                skipped = self.skipped_rows()
+                if skipped > self.max_skipped_rows:
+                    raise RuntimeError(
+                        f"native loader skipped {skipped} corrupt/"
+                        f"shape-mismatched .vcb rows this epoch "
+                        f"(max_skipped_rows={self.max_skipped_rows}); "
+                        f"see stderr for the offending paths")
                 return
             yield {
                 "frames": frames,
@@ -172,6 +191,10 @@ class NativePipeline:
                 "ids": [os.path.basename(self.paths[i]).split("_")[0]
                         for i in indices],
             }
+
+    def skipped_rows(self) -> int:
+        """Corrupt/mismatched rows padded out so far this epoch."""
+        return int(self.lib.vcb_loader_skipped_rows(self._handle))
 
     def __del__(self):
         if getattr(self, "_handle", None):
