@@ -160,3 +160,13 @@ def test_assemble_sequence_prepends_zero_action():
     np.testing.assert_array_equal(out_frames[0], out_frames[1])
     np.testing.assert_array_equal(out_actions[0], np.zeros(7))
     np.testing.assert_array_equal(out_ts, [7.0, 7.0, 8.0, 9.0])
+
+
+def test_write_text_missing_scale_raises_clearly():
+    """Reference quirk fixed-and-documented: a write_text entry without a
+    scale header raised ZeroDivisionError (transform_dataset.py:160-173);
+    here it names the offending entry."""
+    import pytest
+    logs = [{}, _entry("write text", args=["0.5"])]  # header lacks scale
+    with pytest.raises(ValueError, match="no scale header"):
+        convert_logs_to_vectors(logs)

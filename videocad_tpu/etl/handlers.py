@@ -98,6 +98,13 @@ def _process_write_text(log) -> HandlerResult:
     args = log.get("args", [])
     if args:
         scale = log.get("scale", 0)
+        if not scale:
+            # The reference divides unguarded (transform_dataset.py:160-173,
+            # ZeroDivisionError on a missing scale header); fail with the
+            # offending entry named instead of a bare arithmetic error.
+            raise ValueError(
+                f"write_text log entry at t={log.get('timestamp')} has no "
+                f"scale header; cannot bin typed value {args[0]!r}")
         # Typed value binned to [0, 999] around center 500.
         vector[6] = max(min(int(float(args[0]) / scale * 499) + 500, 999), 0)
     return vector, log["timestamp"]
