@@ -139,9 +139,21 @@ class MultiHeadAttention(nn.Module):
                                v.reshape(b, t, -1), seed, self.num_heads,
                                rate)
             return self.out(fused)
-        elif self.attention_impl == "pallas" and not use_dropout:
+        elif (self.attention_impl == "pallas"
+              and (not use_dropout or jax.default_backend() == "tpu")):
+            # Flash attention with Pallas forward AND backward; dropout
+            # runs in-kernel on the hardware PRNG (TPU only — interpreted
+            # mode has no PRNG, so dropout training falls back to XLA
+            # off-TPU, same contract as the fused ViT kernel above).
             from videocad_tpu.ops.attention import flash_attention
-            out = flash_attention(q, k, v, mask=mask)
+            if use_dropout:
+                seed = jax.random.randint(dropout_rng, (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+                out = flash_attention(q, k, v, mask=mask, seed=seed,
+                                      dropout_rate=self.dropout_rate)
+            else:
+                out = flash_attention(q, k, v, mask=mask)
         else:
             out = xla_attention(q, k, v, mask, self.dropout_rate,
                                 deterministic, dropout_rng,

@@ -7,16 +7,21 @@ matmul and bounces (B,H,50,50) score/weight/mask tensors through HBM.
 A first kernel revision that still required XLA-side head transposes spent
 ~67 ms/step in them — HBM-level 4D transposes run far below bandwidth.
 
-Kernel design (v3): grid over frame-blocks only; BlockSpecs deliver the
-full (bb, T, H, D) slab in the natural layout (legal: the last two block
-dims equal the array dims), the head transpose happens ONCE in VMEM, one
-batched dot produces all (bb*H, T, T) scores, f32 softmax (+ optional
-hardware-PRNG dropout) runs in registers, and the output transposes back
-before the single write — the XLA graph contains no transposes and no
-attention intermediates. The backward kernel recomputes the weights and
-the identical dropout mask (same seed) and emits dq/dk/dv in one pass —
-the flash-attention recompute trade, specialized for sequences short
-enough to hold per-head (T, T) scores in VMEM.
+Kernel design (v4): grid over frame-blocks only; BlockSpecs deliver
+(bb, T, H*D) slabs in the SAME layout the surrounding Dense layers
+produce — H*D (1024) lanes tile exactly, so the XLA graph has neither
+transposes nor retiling copies (the v3 kernel took (bb, T, H, D) blocks,
+whose 64-lane minor dim pads to 128: XLA inserted a physical retiling
+copy on every kernel boundary, ~40 ms/step of 'data formatting' in the
+r2 trace). Inside VMEM the head axis is peeled with static lane slices
+and restacked head-major along the untiled leading dim (the direct lane
+split is an unsupported Mosaic shape cast); one batched dot then produces
+all (H*bb, T, T) scores, f32 softmax (+ optional hardware-PRNG dropout)
+runs in registers, and per-head static slices write the output back. The
+backward kernel recomputes the weights and the identical dropout mask
+(same seed) and emits dq/dk/dv in one pass — the flash-attention
+recompute trade, specialized for sequences short enough to hold per-head
+(T, T) scores in VMEM.
 
 No mask support: the ViT is bidirectional.
 """
@@ -39,17 +44,28 @@ def _batched_dot(a, b, contract_a, contract_b):
         preferred_element_type=jnp.float32)
 
 
-def _to_heads(x_ref):
-    """(bb, T, H, D) ref -> (bb*H, T, D) f32 value (one VMEM transpose)."""
+def _to_heads(x_ref, num_heads, head_dim):
+    """(bb, T, H*D) ref -> (H*bb, T, D) f32 value, head-major.
+
+    The HBM arrays stay in the natural (bb, T, H*D) layout — H*D (1024)
+    lanes tile perfectly, whereas a host-side (bb, T, H, D) reshape pads
+    D=64 to 128 lanes and XLA inserts a physical retiling copy on every
+    kernel boundary (~40 ms/step of 'data formatting' in the r2 trace).
+    The in-kernel lane split is an unsupported Mosaic shape cast, so the
+    head axis is peeled with static lane slices and re-stacked along the
+    (untiled) leading dim — head-major: slab row = h * bb + j.
+    """
     x = x_ref[:].astype(jnp.float32)
-    bb, t, h, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(bb * h, t, d)
+    return jnp.concatenate(
+        [x[:, :, h * head_dim:(h + 1) * head_dim]
+         for h in range(num_heads)], axis=0)
 
 
-def _from_heads(x, bb, h):
-    """(bb*H, T, D) -> (bb, T, H, D)."""
-    n, t, d = x.shape
-    return x.reshape(bb, h, t, d).transpose(0, 2, 1, 3)
+def _write_heads(o_ref, out, bb, num_heads, head_dim):
+    """Store a head-major (H*bb, T, D) f32 value into a (bb, T, H*D) ref."""
+    for h in range(num_heads):
+        o_ref[:, :, h * head_dim:(h + 1) * head_dim] = (
+            out[h * bb:(h + 1) * bb].astype(o_ref.dtype))
 
 
 def _weights_for(q, k, sm_scale):
@@ -57,21 +73,26 @@ def _weights_for(q, k, sm_scale):
 
 
 def _dropout_bits(seed_ref, block_b, num_heads, t):
-    """Block-size-invariant dropout bits for a (block_b*H, T, T) weights slab.
+    """Block-size-invariant dropout bits for the head-major (H*block_b,
+    T, T) weights slab.
 
-    Seeded per ABSOLUTE batch row (seed, i*block_b + j), not per grid block:
-    the forward and backward kernels choose different block_b at realistic
-    shapes (their VMEM footprints differ), so any block-indexed stream would
-    regenerate a different mask in the backward — silently wrong gradients.
-    Per-row streams are identical for every legal block size.
+    Seeded per ABSOLUTE batch row (seed, i*block_b + j), not per grid
+    block: the forward and backward kernels choose different block_b at
+    realistic shapes (their VMEM footprints differ), so any block-indexed
+    stream would regenerate a different mask in the backward — silently
+    wrong gradients. Per-row streams are identical for every legal block
+    size; each row's (H, T, T) draw is reordered to the head-major slab
+    with a leading-dims-only transpose (no lane movement).
     """
     base = pl.program_id(0) * block_b
     rows = []
     for j in range(block_b):
         pltpu.prng_seed(seed_ref[0], base + j)
         rows.append(pltpu.bitcast(
-            pltpu.prng_random_bits((num_heads, t, t)), jnp.uint32))
-    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+            pltpu.prng_random_bits((1, num_heads, t, t)), jnp.uint32))
+    stack = (jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0])
+    # (bb, H, t, t) -> head-major (H*bb, t, t)
+    return stack.transpose(1, 0, 2, 3).reshape(num_heads * block_b, t, t)
 
 
 def _apply_dropout(weights, bits, dropout_rate):
@@ -80,29 +101,34 @@ def _apply_dropout(weights, bits, dropout_rate):
     return jnp.where(keep, weights / (1.0 - dropout_rate), 0.0), keep
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, head_dim,
-                dropout_rate):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads,
+                head_dim, dropout_rate):
     sm_scale = 1.0 / (head_dim ** 0.5)
-    bb, _t, h, _d = q_ref.shape
-    q, k, v = _to_heads(q_ref), _to_heads(k_ref), _to_heads(v_ref)
+    bb = q_ref.shape[0]
+    q = _to_heads(q_ref, num_heads, head_dim)
+    k = _to_heads(k_ref, num_heads, head_dim)
+    v = _to_heads(v_ref, num_heads, head_dim)
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, bb, h, weights.shape[-1])
+        bits = _dropout_bits(seed_ref, bb, num_heads, weights.shape[-1])
         weights, _ = _apply_dropout(weights, bits, dropout_rate)
     out = _batched_dot(weights, v, 2, 1)
-    o_ref[:] = _from_heads(out, bb, h).astype(o_ref.dtype)
+    _write_heads(o_ref, out, bb, num_heads, head_dim)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, head_dim, dropout_rate):
+                dq_ref, dk_ref, dv_ref, *, num_heads, head_dim,
+                dropout_rate):
     sm_scale = 1.0 / (head_dim ** 0.5)
-    bb, _t, h, _d = q_ref.shape
-    q, k, v = _to_heads(q_ref), _to_heads(k_ref), _to_heads(v_ref)
-    g = _to_heads(g_ref)
+    bb = q_ref.shape[0]
+    q = _to_heads(q_ref, num_heads, head_dim)
+    k = _to_heads(k_ref, num_heads, head_dim)
+    v = _to_heads(v_ref, num_heads, head_dim)
+    g = _to_heads(g_ref, num_heads, head_dim)
 
     weights = _weights_for(q, k, sm_scale)
     if dropout_rate > 0.0:
-        bits = _dropout_bits(seed_ref, bb, h, weights.shape[-1])
+        bits = _dropout_bits(seed_ref, bb, num_heads, weights.shape[-1])
         dropped, keep = _apply_dropout(weights, bits, dropout_rate)
     else:
         dropped, keep = weights, None
@@ -122,9 +148,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     dk = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dq_ref[:] = _from_heads(dq, bb, h).astype(dq_ref.dtype)
-    dk_ref[:] = _from_heads(dk, bb, h).astype(dk_ref.dtype)
-    dv_ref[:] = _from_heads(dv, bb, h).astype(dv_ref.dtype)
+    _write_heads(dq_ref, dq, bb, num_heads, head_dim)
+    _write_heads(dk_ref, dk, bb, num_heads, head_dim)
+    _write_heads(dv_ref, dv, bb, num_heads, head_dim)
 
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem headroom (chip limit ~16M)
@@ -152,10 +178,11 @@ def _choose_block_b(b: int, t: int, num_heads: int, head_dim: int,
 
 
 def _specs(block_b, t, num_heads, head_dim):
-    # Last two block dims equal the array dims -> legal for any tiling;
-    # the head axis transposes inside VMEM, never in the XLA graph.
-    data = pl.BlockSpec((block_b, t, num_heads, head_dim),
-                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    # Natural (block, T, H*D) layout: H*D lanes tile exactly, so the XLA
+    # graph has neither transposes nor retiling copies; the head split +
+    # transpose happen inside VMEM (_to_heads).
+    data = pl.BlockSpec((block_b, t, num_heads * head_dim),
+                        lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     return seed, data
 
@@ -171,11 +198,6 @@ def mhsa_short(q, k, v, seed, num_heads: int, dropout_rate: float = 0.0,
     return out
 
 
-def _prep(x, num_heads):
-    b, t, hd = x.shape
-    return x.reshape(b, t, num_heads, hd // num_heads)  # free reshape
-
-
 def _mhsa_fwd(q, k, v, seed, num_heads, dropout_rate, interpret):
     b, t, hd = q.shape
     head_dim = hd // num_heads
@@ -186,16 +208,15 @@ def _mhsa_fwd(q, k, v, seed, num_heads, dropout_rate, interpret):
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
     seed_spec, data_spec = _specs(block_b, t, num_heads, head_dim)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, head_dim=head_dim,
-                          dropout_rate=dropout_rate),
-        out_shape=jax.ShapeDtypeStruct((b, t, num_heads, head_dim), q.dtype),
+        functools.partial(_fwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, dropout_rate=dropout_rate),
+        out_shape=jax.ShapeDtypeStruct((b, t, hd), q.dtype),
         grid=(b // block_b,),
         in_specs=[seed_spec, data_spec, data_spec, data_spec],
         out_specs=data_spec,
         interpret=interpret,
-    )(seed_arr, _prep(q, num_heads), _prep(k, num_heads),
-      _prep(v, num_heads))
-    return out.reshape(b, t, hd), (q, k, v, seed)
+    )(seed_arr, q, k, v)
+    return out, (q, k, v, seed)
 
 
 def _mhsa_bwd(num_heads, dropout_rate, interpret, residuals, g):
@@ -208,19 +229,17 @@ def _mhsa_bwd(num_heads, dropout_rate, interpret, residuals, g):
         interpret = jax.default_backend() != "tpu"
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
     seed_spec, data_spec = _specs(block_b, t, num_heads, head_dim)
-    shape = jax.ShapeDtypeStruct((b, t, num_heads, head_dim), q.dtype)
+    shape = jax.ShapeDtypeStruct((b, t, hd), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, head_dim=head_dim,
-                          dropout_rate=dropout_rate),
+        functools.partial(_bwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, dropout_rate=dropout_rate),
         out_shape=(shape, shape, shape),
         grid=(b // block_b,),
         in_specs=[seed_spec] + [data_spec] * 4,
         out_specs=(data_spec, data_spec, data_spec),
         interpret=interpret,
-    )(seed_arr, _prep(q, num_heads), _prep(k, num_heads),
-      _prep(v, num_heads), _prep(g, num_heads))
-    merge = lambda x: x.reshape(b, t, hd)  # noqa: E731
-    return merge(dq), merge(dk), merge(dv), None
+    )(seed_arr, q, k, v, g)
+    return dq, dk, dv, None
 
 
 mhsa_short.defvjp(_mhsa_fwd, _mhsa_bwd)
