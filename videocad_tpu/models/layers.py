@@ -24,6 +24,64 @@ import jax
 import jax.numpy as jnp
 
 
+class ParamDense(nn.Module):
+    """nn.Dense-compatible layer whose kernel/bias are setup attributes.
+
+    Identical parameter names ("kernel"/"bias"), shapes, initializers
+    (lecun_normal / zeros) and dtype flow to nn.Dense — checkpoints and
+    RNG streams are interchangeable — but the weights are directly
+    readable (``layer.kernel``) so fused Pallas block kernels
+    (ops/fused_block.py) can consume them without materializing the
+    projection outputs in HBM. Requires the input width statically.
+    """
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features),
+                                 jnp.float32)
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        y = x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+        if self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+
+class LNParams(nn.Module):
+    """nn.LayerNorm-compatible module with directly readable scale/bias.
+
+    Matches flax nn.LayerNorm semantics (f32 statistics, affine in the
+    compute dtype) and parameter names/init, for the fused-block path.
+    """
+
+    dim: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                                jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                               jnp.float32)
+
+    def __call__(self, x):
+        f32 = x.astype(jnp.float32)
+        mu = jnp.mean(f32, axis=-1, keepdims=True)
+        xc = f32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.epsilon)
+        y = y * self.scale + self.bias
+        return y.astype(self.dtype)
+
+
 def causal_mask(seq_len: int) -> jnp.ndarray:
     """(T, T) bool, True = may attend: col <= row."""
     rows = jnp.arange(seq_len)[:, None]
@@ -86,10 +144,14 @@ class MultiHeadAttention(nn.Module):
         hd = self.head_dim or self.model_dim // self.num_heads
         inner = self.num_heads * hd
         self._head_dim = hd
-        self.query = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype)
-        self.key = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype)
-        self.value = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype)
-        self.out = nn.Dense(self.model_dim, use_bias=True, dtype=self.dtype)
+        # ParamDense == nn.Dense (names/shapes/init/dtype flow) but with
+        # directly readable weights for the fused-block kernel path.
+        kw = dict(in_features=self.model_dim, dtype=self.dtype)
+        self.query = ParamDense(inner, use_bias=self.qkv_bias, **kw)
+        self.key = ParamDense(inner, use_bias=self.qkv_bias, **kw)
+        self.value = ParamDense(inner, use_bias=self.qkv_bias, **kw)
+        self.out = ParamDense(self.model_dim, in_features=inner,
+                              use_bias=True, dtype=self.dtype)
 
     def _split(self, x):
         b, t, _ = x.shape

@@ -79,7 +79,12 @@ class VideoCADFormerConfig:
     # TPU knobs
     dtype: str = "float32"           # compute dtype: 'float32' | 'bfloat16'
     attention_impl: str = "xla"      # 'xla' | 'pallas' (decoder)
-    vit_attention_impl: str = "xla"  # 'xla' | 'fused' (per-frame encoder)
+    # 'xla' | 'fused' (fused MHSA kernel) | 'block' (fused LN+qkv+MHSA+
+    # out-proj+residual attn_block kernel, ops/fused_block.py)
+    vit_attention_impl: str = "xla"
+    # 'xla' | 'block' (fused LN+fc1+gelu+drop+fc2+residual mlp_block
+    # kernel); forced on when vit_attention_impl == 'block'
+    vit_mlp_impl: str = "xla"
     ln_impl: str = "xla"             # 'xla' | 'pallas' (ViT LayerNorms)
     dropout_impl: str = "xla"        # 'xla' | 'pallas' (hardware-PRNG fused)
     preprocess_impl: str = "xla"     # 'xla' | 'pallas' (uint8 image inputs)
@@ -128,6 +133,7 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False,
             final_norm=cfg.vit_final_norm)
         return cls(vit_cfg, dtype=cfg.compute_dtype,
                    attention_impl=cfg.vit_attention_impl,
+                   mlp_impl=cfg.vit_mlp_impl,
                    dropout_impl=cfg.dropout_impl, ln_impl=cfg.ln_impl,
                    name=name)
     if cfg.encoder == "resnet":

@@ -17,9 +17,10 @@ import dataclasses
 import functools
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from videocad_tpu.models.layers import MultiHeadAttention
+from videocad_tpu.models.layers import LNParams, MultiHeadAttention, ParamDense
 
 
 class FusedLayerNorm(nn.Module):
@@ -67,12 +68,47 @@ class ViTConfig:
 
 
 class ViTBlock(nn.Module):
+    """One pre-LN transformer block.
+
+    ``attention_impl="block"`` runs the whole layer as two fused Pallas
+    kernels (ops/fused_block.py: attn_block + mlp_block) — LayerNorms,
+    projections, softmax, GELU, dropout and residual adds never leave
+    VMEM, and the XLA graph holds only (B, T, dim) tensors between
+    custom-calls (no layout-copy battles at kernel boundaries). The
+    parameter tree is identical across impls (ParamDense/LNParams mirror
+    nn.Dense/nn.LayerNorm naming and init), so checkpoints are
+    interchangeable.
+    """
+
     config: ViTConfig
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    mlp_impl: str = "xla"  # 'xla' | 'block' (fused mlp_block kernel)
     dropout_impl: str = "xla"
     ln_impl: str = "xla"
     sow_attention: bool = False
+
+    def setup(self):
+        cfg = self.config
+        if self.attention_impl == "block":
+            self.attn_norm = LNParams(cfg.dim, epsilon=1e-5,
+                                      dtype=self.dtype)
+        else:
+            self.attn_norm = _ln_ctor(self.ln_impl)(dtype=self.dtype)
+        if self.mlp_impl == "block" or self.attention_impl == "block":
+            self.mlp_norm = LNParams(cfg.dim, epsilon=1e-5, dtype=self.dtype)
+        else:
+            self.mlp_norm = _ln_ctor(self.ln_impl)(dtype=self.dtype)
+        self.attn = MultiHeadAttention(
+            model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
+            dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            dropout_impl=self.dropout_impl,
+            sow_weights=self.sow_attention)
+        self.mlp_in = ParamDense(cfg.mlp_dim, in_features=cfg.dim,
+                                 dtype=self.dtype)
+        self.mlp_out = ParamDense(cfg.dim, in_features=cfg.mlp_dim,
+                                  dtype=self.dtype)
 
     def _drop(self, x, deterministic):
         if deterministic or self.config.dropout == 0.0:
@@ -81,27 +117,51 @@ class ViTBlock(nn.Module):
         return dropout(x, self.make_rng("dropout"), self.config.dropout,
                        impl=self.dropout_impl)
 
-    @nn.compact
+    def _seed(self, use_dropout):
+        if not use_dropout:
+            return jnp.int32(0)
+        return jax.random.randint(self.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        ln = _ln_ctor(self.ln_impl)
-        h = ln(dtype=self.dtype, name="attn_norm")(x)
-        h = MultiHeadAttention(
-            model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
-            dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="attn",
-            dropout_impl=self.dropout_impl,
-            sow_weights=self.sow_attention,
-        )(h, h, deterministic=deterministic)
-        x = x + self._drop(h, deterministic)
+        use_dropout = cfg.dropout > 0.0 and not deterministic
+        # In-kernel dropout needs the TPU hardware PRNG; off-TPU dropout
+        # training falls back to the XLA path (same contract as the other
+        # Pallas kernels). sow_attention needs the score tensor -> XLA.
+        kernels_ok = not use_dropout or jax.default_backend() == "tpu"
+        if (self.attention_impl == "block" and not self.sow_attention
+                and kernels_ok):
+            from videocad_tpu.ops.fused_block import attn_block
+            rate = cfg.dropout if use_dropout else 0.0
+            x = attn_block(
+                x, self.attn.query.kernel, self.attn.key.kernel,
+                self.attn.value.kernel, self.attn.out.kernel,
+                self.attn.out.bias, self.attn_norm.scale,
+                self.attn_norm.bias, self._seed(use_dropout), cfg.heads,
+                rate)
+        else:
+            h = self.attn_norm(x)
+            h = self.attn(h, h, deterministic=deterministic)
+            x = x + self._drop(h, deterministic)
 
-        h = ln(dtype=self.dtype, name="mlp_norm")(x)
-        h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
+        if ((self.mlp_impl == "block" or self.attention_impl == "block")
+                and kernels_ok):
+            from videocad_tpu.ops.fused_block import mlp_block
+            rate = cfg.dropout if use_dropout else 0.0
+            return mlp_block(
+                x, self.mlp_in.kernel, self.mlp_in.bias,
+                self.mlp_out.kernel, self.mlp_out.bias,
+                self.mlp_norm.scale, self.mlp_norm.bias,
+                self._seed(use_dropout), rate)
+
+        h = self.mlp_norm(x)
+        h = self.mlp_in(h)
         # exact erf GELU (torch nn.GELU default) — flax's tanh approximation
         # adds ~1e-3 drift against converted vit_pytorch checkpoints
         h = nn.gelu(h, approximate=False)
         h = self._drop(h, deterministic)
-        h = nn.Dense(cfg.dim, dtype=self.dtype, name="mlp_out")(h)
+        h = self.mlp_out(h)
         h = self._drop(h, deterministic)
         return x + h
 
@@ -112,6 +172,7 @@ class ViT(nn.Module):
     config: ViTConfig = ViTConfig()
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    mlp_impl: str = "xla"
     dropout_impl: str = "xla"
     ln_impl: str = "xla"
     sow_attention: bool = False
@@ -144,6 +205,7 @@ class ViT(nn.Module):
         for i in range(cfg.depth):
             x = ViTBlock(cfg, dtype=self.dtype,
                          attention_impl=self.attention_impl,
+                         mlp_impl=self.mlp_impl,
                          dropout_impl=self.dropout_impl,
                          ln_impl=self.ln_impl,
                          sow_attention=self.sow_attention,
