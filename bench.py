@@ -61,7 +61,9 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
 
     The reference rollout re-runs a full forward per step (O(T^2) with O(T)
     frame re-encodes each — autoregressive_transformer.py:222-274); ours is
-    the KV-cached lax.scan engine. Run via `python bench.py rollout`.
+    the KV-cached lax.scan engine. Run via `python bench.py rollout
+    [batch_size]` (batch 8 is the headline; larger batches amortize the
+    per-step decoder weight stream — serving mode).
     """
     from videocad_tpu.infer.rollout import sequential_inference
 
@@ -205,7 +207,8 @@ def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "rollout":
-        bench_rollout()
+        bench_rollout(batch_size=int(sys.argv[2]) if len(sys.argv) > 2
+                      else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         bench_e2e()
     else:

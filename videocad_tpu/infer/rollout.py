@@ -11,6 +11,10 @@ each re-encoding all T frames. Here:
     layer;
   * the per-step decode is a pure-JAX KV-cached transformer step inside
     ``lax.scan`` — O(T) steps of O(T) attention, no Python in the loop;
+    the decoder weights, KV caches and token stream run in the model's
+    compute dtype (f32 LayerNorm stats and f32 heads, like the forward),
+    and cross-attention reads only the banded ``window_size`` slice of
+    the memory K/V per step;
   * predicted actions are argmax-decoded, masked per command
     (apply_action_mask), normalized, and fed back — bit-matching the
     reference's decode rule.
@@ -43,9 +47,13 @@ def _dense(p, x):
 
 
 def _layernorm(p, x, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    """f32 statistics, affine in the stream dtype — flax nn.LayerNorm's
+    dtype flow (stats are promoted to f32 even under bfloat16 compute)."""
+    f32 = x.astype(jnp.float32)
+    mean = f32.mean(axis=-1, keepdims=True)
+    var = ((f32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    norm = ((f32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return norm * p["scale"] + p["bias"]
 
 
 def _heads_split(x, num_heads):
@@ -85,11 +93,20 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
 
     x: (B, hidden) target embedding for this step; self_kv: per-layer
     (k,v) caches (B, T, H, D); returns (hidden_out, new_self_kv).
+
+    Cross-attention reads only a ``window``-wide dynamic slice of the
+    memory K/V: the banded mask admits positions (t-window, t], so there
+    is no need to stream the full (B, S, H, D) memory per step — at the
+    flagship shapes the full-memory reads were ~98 MB/step of the decode
+    loop's HBM traffic for a window of 10 valid columns.
     """
     num_heads = cfg.nhead
     positions = jnp.arange(seq_len)
     self_mask = positions <= t
-    mem_mask = (positions > t - window) & (positions <= t)
+    w = min(window, seq_len)
+    start = jnp.clip(t - window + 1, 0, seq_len - w)
+    wpos = start + jnp.arange(w)
+    mem_mask = (wpos > t - window) & (wpos <= t)
 
     new_kv = []
     for i in range(cfg.num_decoder_layers):
@@ -111,7 +128,9 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
 
         qc = _heads_split(_dense(ca["query"], x), num_heads)
         mem_k, mem_v = mem_kv[i]
-        ctx = _masked_attend(qc, mem_k, mem_v, mem_mask)
+        mem_k_w = jax.lax.dynamic_slice_in_dim(mem_k, start, w, axis=1)
+        mem_v_w = jax.lax.dynamic_slice_in_dim(mem_v, start, w, axis=1)
+        ctx = _masked_attend(qc, mem_k_w, mem_v_w, mem_mask)
         x = _layernorm(layer["norm2"], x + _dense(ca["out"], ctx))
 
         h = jax.nn.relu(_dense(layer["linear1"], x))
@@ -144,21 +163,25 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
             inputs["multiview_images"] = multiview_images
         return model.apply({"params": params}, inputs, deterministic=True)
 
-    # The decode loop runs in f32 end to end: the per-step math is tiny
-    # (hidden vectors, not frame batches), and f32 keeps argmax decisions
-    # faithful to the teacher-forced forward. `memory` (from the bf16
-    # encoders) promotes to f32 inside precompute_memory_kv via the f32
-    # kernels.
-    mem_kv = precompute_memory_kv(params, memory, cfg.num_decoder_layers,
-                                  cfg.nhead)
-    mem_kv = [(k.astype(jnp.float32), v.astype(jnp.float32))
-              for k, v in mem_kv]
+    # dtype flow mirrors the teacher-forced forward: the decoder stack and
+    # embeddings compute in cfg.compute_dtype (flax Dense dtype), LayerNorm
+    # statistics and the prediction heads in f32 (the model's heads cast
+    # hidden to f32 explicitly). Pre-casting the scan-body weights matters:
+    # the decode loop re-reads every decoder weight each of the T steps, so
+    # f32 weights double the loop's dominant HBM stream under a bf16 model.
+    dtype = cfg.compute_dtype
+    cast = functools.partial(jax.tree_util.tree_map,
+                             lambda a: a.astype(dtype))
+    scan_params = {"decoder": cast(params["decoder"])}
+    mem_kv = precompute_memory_kv(params, memory.astype(dtype),
+                                  cfg.num_decoder_layers, cfg.nhead)
+    mem_kv = [(k.astype(dtype), v.astype(dtype)) for k, v in mem_kv]
 
     b = frames.shape[0]
     hd = cfg.hidden_size // cfg.nhead
     init_kv = [
-        (jnp.zeros((b, seq_len, cfg.nhead, hd), jnp.float32),
-         jnp.zeros((b, seq_len, cfg.nhead, hd), jnp.float32))
+        (jnp.zeros((b, seq_len, cfg.nhead, hd), dtype),
+         jnp.zeros((b, seq_len, cfg.nhead, hd), dtype))
         for _ in range(cfg.num_decoder_layers)
     ]
 
@@ -166,16 +189,17 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
         ts_emb = params["timestep_embedding"]["embedding"][:seq_len]
     else:
         ts_emb = jnp.zeros((seq_len, cfg.hidden_size), jnp.float32)
+    ts_emb = ts_emb.astype(dtype)
 
-    embed_action_p = params["embed_action"]
+    embed_action_p = cast(params["embed_action"])
     head_cmd_p, head_params_p = params["predict_cmd"], params["predict_params"]
 
     def step(carry, t):
         action, self_kv = carry
-        x = jnp.tanh(_dense(embed_action_p, action) + ts_emb[t].astype(
-            jnp.float32))
-        hidden, self_kv = decode_step(params, cfg, x, t, self_kv, mem_kv,
-                                      cfg.window_size, seq_len)
+        x = jnp.tanh(_dense(embed_action_p, action.astype(dtype))
+                     + ts_emb[t])
+        hidden, self_kv = decode_step(scan_params, cfg, x, t, self_kv,
+                                      mem_kv, cfg.window_size, seq_len)
         hidden = hidden.astype(jnp.float32)
         cmd_logits = _dense(head_cmd_p, hidden)
         param_logits = _dense(head_params_p, hidden).reshape(
