@@ -24,6 +24,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <random>
 #include <string>
@@ -34,48 +35,58 @@ namespace {
 
 constexpr uint32_t kMagic = 0x31424356;  // "VCB1"
 
-struct Sequence {
-  uint32_t t = 0, h = 0, w = 0, c = 0, act_dim = 0;
-  std::vector<uint8_t> cad;
-  std::vector<uint8_t> frames;
-  std::vector<int32_t> actions;
-  bool ok = false;
-};
-
-Sequence read_vcb(const std::string& path) {
-  Sequence seq;
+// Frames dominate batch bytes (231 MB at the flagship shapes), so the hot
+// path avoids every avoidable pass over them: rows are fread() DIRECTLY
+// into the (uninitialized) batch buffer and only the padding tail is
+// zeroed — the first revision memset the full buffer, read into a
+// temporary Sequence and copied it over, ~3 passes of extra traffic that
+// halved the per-core assembly rate.
+//
+// Reads a row into place. Returns true on success with *t_out = the
+// number of (bucket-clamped) timesteps written; on failure nothing is
+// written.
+bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
+                   uint32_t c, uint32_t act_dim, uint32_t bucket_len,
+                   uint8_t* cad_dst, uint8_t* frames_dst, float* actions_dst,
+                   uint32_t* t_out) {
   FILE* f = std::fopen(path.c_str(), "rb");
-  if (!f) return seq;
+  if (!f) return false;
   uint32_t header[7];
   if (std::fread(header, sizeof(uint32_t), 7, f) != 7 ||
-      header[0] != kMagic || header[1] != 1) {
+      header[0] != kMagic || header[1] != 1 || header[3] != h ||
+      header[4] != w || header[5] != c || header[6] != act_dim) {
     std::fclose(f);
-    return seq;
+    return false;
   }
-  seq.t = header[2];
-  seq.h = header[3];
-  seq.w = header[4];
-  seq.c = header[5];
-  seq.act_dim = header[6];
-  const size_t img = static_cast<size_t>(seq.h) * seq.w * seq.c;
-  seq.cad.resize(img);
-  seq.frames.resize(img * seq.t);
-  seq.actions.resize(static_cast<size_t>(seq.t) * seq.act_dim);
-  bool ok = std::fread(seq.cad.data(), 1, seq.cad.size(), f) == seq.cad.size();
-  ok = ok && std::fread(seq.frames.data(), 1, seq.frames.size(), f) ==
-                 seq.frames.size();
-  ok = ok && std::fread(seq.actions.data(), sizeof(int32_t),
-                        seq.actions.size(), f) == seq.actions.size();
+  const uint32_t t = header[2];
+  const uint32_t tt = std::min(t, bucket_len);
+  const size_t img = static_cast<size_t>(h) * w * c;
+  bool ok = std::fread(cad_dst, 1, img, f) == img;
+  ok = ok && std::fread(frames_dst, 1, img * tt, f) == img * tt;
+  if (ok && t > tt) {
+    ok = std::fseek(f, static_cast<long>(img * (t - tt)), SEEK_CUR) == 0;
+  }
+  std::vector<int32_t> actions(static_cast<size_t>(t) * act_dim);
+  ok = ok && std::fread(actions.data(), sizeof(int32_t), actions.size(),
+                        f) == actions.size();
   std::fclose(f);
-  seq.ok = ok;
-  return seq;
+  if (!ok) return false;
+  for (size_t i = 0; i < static_cast<size_t>(tt) * act_dim; ++i) {
+    actions_dst[i] = static_cast<float>(actions[i]);
+  }
+  *t_out = tt;
+  return true;
 }
 
 struct Batch {
-  std::vector<uint8_t> frames;   // [B, L, H, W, C]
-  std::vector<float> actions;    // [B, L, act_dim], pad -1
-  std::vector<uint8_t> cad;      // [B, H, W, C]
-  std::vector<int32_t> indices;  // source sequence index per row
+  // frames/cad are raw arrays: new[] leaves POD storage uninitialized,
+  // letting assemble() write each byte exactly once (fread or tail zero).
+  std::unique_ptr<uint8_t[]> frames;  // [B, L, H, W, C]
+  size_t frames_size = 0;
+  std::vector<float> actions;         // [B, L, act_dim], pad -1
+  std::unique_ptr<uint8_t[]> cad;     // [B, H, W, C]
+  size_t cad_size = 0;
+  std::vector<int32_t> indices;       // source sequence index per row
 };
 
 class Loader {
@@ -149,10 +160,10 @@ class Loader {
       pending_.erase(emitted_);
       cv_.notify_all();
     }
-    std::memcpy(frames_out, batch.frames.data(), batch.frames.size());
+    std::memcpy(frames_out, batch.frames.get(), batch.frames_size);
     std::memcpy(actions_out, batch.actions.data(),
                 batch.actions.size() * sizeof(float));
-    std::memcpy(cad_out, batch.cad.data(), batch.cad.size());
+    std::memcpy(cad_out, batch.cad.get(), batch.cad_size);
     std::memcpy(indices_out, batch.indices.data(),
                 batch.indices.size() * sizeof(int32_t));
     ++emitted_;
@@ -181,43 +192,39 @@ class Loader {
 
   Batch assemble(int batch_id) {
     const size_t img = static_cast<size_t>(h_) * w_ * c_;
+    const size_t row = static_cast<size_t>(bucket_len_) * img;
     Batch batch;
-    batch.frames.assign(static_cast<size_t>(batch_size_) * bucket_len_ * img, 0);
+    batch.frames_size = static_cast<size_t>(batch_size_) * row;
+    batch.frames.reset(new uint8_t[batch.frames_size]);
     batch.actions.assign(
         static_cast<size_t>(batch_size_) * bucket_len_ * act_dim_, -1.0f);
-    batch.cad.assign(static_cast<size_t>(batch_size_) * img, 0);
+    batch.cad_size = static_cast<size_t>(batch_size_) * img;
+    batch.cad.reset(new uint8_t[batch.cad_size]);
     batch.indices.assign(batch_size_, -1);
     for (int b = 0; b < batch_size_; ++b) {
       const size_t idx = order_[batch_id * batch_size_ + b];
       batch.indices[b] = static_cast<int32_t>(idx);
-      Sequence seq = read_vcb(paths_[idx]);
-      if (!seq.ok || seq.h != static_cast<uint32_t>(h_) ||
-          seq.w != static_cast<uint32_t>(w_) ||
-          seq.c != static_cast<uint32_t>(c_) ||
-          seq.act_dim != static_cast<uint32_t>(act_dim_)) {
-        // Leave the padded row (all actions -1 => fully masked in the
-        // loss) but COUNT it — silent corruption must surface; the Python
-        // side raises above its threshold (data/native.py).
+      uint8_t* frames_dst = batch.frames.get() + static_cast<size_t>(b) * row;
+      uint8_t* cad_dst = batch.cad.get() + static_cast<size_t>(b) * img;
+      float* actions_dst =
+          &batch.actions[static_cast<size_t>(b) * bucket_len_ * act_dim_];
+      uint32_t t = 0;
+      if (!read_vcb_into(paths_[idx], h_, w_, c_, act_dim_, bucket_len_,
+                         cad_dst, frames_dst, actions_dst, &t)) {
+        // Zero the row (all actions stay -1 => fully masked in the loss)
+        // but COUNT it — silent corruption must surface; the Python side
+        // raises above its threshold (data/native.py).
+        std::memset(frames_dst, 0, row);
+        std::memset(cad_dst, 0, img);
         skipped_rows_.fetch_add(1);
         std::fprintf(stderr,
                      "[vcb_loader] skipping corrupt/mismatched row: %s\n",
                      paths_[idx].c_str());
         continue;
       }
-      const uint32_t t = seq.t < static_cast<uint32_t>(bucket_len_)
-                             ? seq.t
-                             : static_cast<uint32_t>(bucket_len_);
-      std::memcpy(&batch.frames[(static_cast<size_t>(b) * bucket_len_) * img],
-                  seq.frames.data(), static_cast<size_t>(t) * img);
-      for (uint32_t step = 0; step < t; ++step) {
-        for (int a = 0; a < act_dim_; ++a) {
-          batch.actions[(static_cast<size_t>(b) * bucket_len_ + step) *
-                            act_dim_ + a] =
-              static_cast<float>(seq.actions[step * act_dim_ + a]);
-        }
-      }
-      std::memcpy(&batch.cad[static_cast<size_t>(b) * img], seq.cad.data(),
-                  img);
+      // Zero only the padding tail; the valid prefix was read in place.
+      std::memset(frames_dst + static_cast<size_t>(t) * img, 0,
+                  (static_cast<size_t>(bucket_len_) - t) * img);
     }
     return batch;
   }
