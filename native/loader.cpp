@@ -100,8 +100,12 @@ class Loader {
         h_(h), w_(w), c_(c), act_dim_(act_dim),
         prefetch_(prefetch < 1 ? 1 : prefetch),
         num_threads_(num_threads < 1 ? 1 : num_threads),
-        host_id_(host_id < 0 ? 0 : host_id),
-        num_hosts_(num_hosts < 1 ? 1 : num_hosts) {}
+        num_hosts_(num_hosts < 1 ? 1 : num_hosts) {
+    // Clamp into [0, num_hosts): a host_id >= num_hosts would make this
+    // host's strided order_ slice shorter than num_batches()*batch_size
+    // and assemble() would index order_ out of bounds.
+    host_id_ = ((host_id % num_hosts_) + num_hosts_) % num_hosts_;
+  }
 
   ~Loader() { stop(); }
 
@@ -240,7 +244,8 @@ class Loader {
 
   std::vector<std::string> paths_;
   const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, prefetch_,
-      num_threads_, host_id_, num_hosts_;
+      num_threads_, num_hosts_;
+  int host_id_ = 0;  // clamped into [0, num_hosts_) in the constructor
   std::atomic<long long> skipped_rows_{0};
   std::vector<size_t> order_;
   std::vector<std::thread> workers_;

@@ -194,3 +194,19 @@ def test_resize_u8_identity_and_shape():
     img = _structured_rgb(30, 40)
     assert resize_u8(img, (30, 40)) is img
     assert resize_u8(img, (15, 20)).shape == (15, 20, 3)
+
+
+def test_gencad_with_multiview_is_rejected():
+    """GenCAD's 256x256x3 edge-image encoder can never consume frame-sized
+    multiview renders — the combination must fail loudly at model build,
+    not with a shape crash inside the encoder."""
+    import jax
+    import pytest
+
+    from tests.helpers import TINY_CONFIG
+    from videocad_tpu.models import create_model, init_model
+
+    cfg = dict(TINY_CONFIG, use_pretrained_cad_model=True, num_views=2)
+    model = create_model(cfg)
+    with pytest.raises(ValueError, match="GenCAD"):
+        init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)

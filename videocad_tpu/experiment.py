@@ -74,11 +74,6 @@ class Experiment:
             training_config[k] = v
 
         exp_dir = os.path.join(self.log_dir, experiment_name)
-        if jax.process_index() == 0:
-            os.makedirs(exp_dir, exist_ok=True)
-            save_json(experiment_params, os.path.join(exp_dir, "params.json"))
-            save_json(training_config,
-                      os.path.join(exp_dir, "training_config.json"))
 
         params = None
         state_dict_path = experiment_params.get("state_dict")
@@ -101,6 +96,15 @@ class Experiment:
                 convert_state_dict(sd, experiment_params))
         else:
             model = create_model(experiment_params)
+        # Saved AFTER the torch-checkpoint override merge: params.json must
+        # describe the model actually trained (detect_config_overrides can
+        # flip vit_patch_norm/vit_final_norm for legacy .pt generations, and
+        # a record missing that would rebuild a mismatched module tree).
+        if jax.process_index() == 0:
+            os.makedirs(exp_dir, exist_ok=True)
+            save_json(experiment_params, os.path.join(exp_dir, "params.json"))
+            save_json(training_config,
+                      os.path.join(exp_dir, "training_config.json"))
         if state_dict_path and params is None:
             # warm start from an Orbax checkpoint dir (experiment.py:61-71)
             from videocad_tpu.train.checkpoint import CheckpointHandler

@@ -190,9 +190,8 @@ class MultiHeadAttention(nn.Module):
             from videocad_tpu.ops.fused_attention import mhsa_short
             b, t = q.shape[:2]
             if use_dropout:
-                seed = jax.random.randint(dropout_rng, (), 0,
-                                          jnp.iinfo(jnp.int32).max,
-                                          dtype=jnp.int32)
+                from videocad_tpu.ops.prng import derive_seed
+                seed = derive_seed(dropout_rng)
                 rate = self.dropout_rate
             else:
                 seed = jnp.int32(0)
@@ -209,10 +208,9 @@ class MultiHeadAttention(nn.Module):
             # off-TPU, same contract as the fused ViT kernel above).
             from videocad_tpu.ops.attention import flash_attention
             if use_dropout:
-                seed = jax.random.randint(dropout_rng, (), 0,
-                                          jnp.iinfo(jnp.int32).max,
-                                          dtype=jnp.int32)
-                out = flash_attention(q, k, v, mask=mask, seed=seed,
+                from videocad_tpu.ops.prng import derive_seed
+                out = flash_attention(q, k, v, mask=mask,
+                                      seed=derive_seed(dropout_rng),
                                       dropout_rate=self.dropout_rate)
             else:
                 out = flash_attention(q, k, v, mask=mask)

@@ -158,6 +158,17 @@ class VideoCADFormer(nn.Module):
             self.state_encoder = _make_encoder(
                 cfg, "state_encoder", remat=cfg.remat_encoder)
         if cfg.use_pretrained_cad_model:
+            if cfg.num_views > 0:
+                # Multiview images are grayscale frame-sized and would be
+                # fed to the GenCAD-shaped (256x256x3 edge-image) encoder
+                # below — the shapes can never match. The reference cannot
+                # express this combination either (its gencad factory path
+                # raises unconditionally, quirk 7).
+                raise ValueError(
+                    "use_pretrained_cad_model (GenCAD) and num_views > 0 "
+                    "cannot be combined: the GenCAD CAD encoder expects "
+                    "256x256x3 Canny edge images, not frame-sized "
+                    "multiview renders")
             # GenCAD branch: the CAD input is the 3-channel 256x256 Canny
             # edge image (data/dataset.py gencad_cad_image). The reference
             # intended a pretrained "gencad" encoder here but its factory

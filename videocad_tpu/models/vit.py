@@ -120,8 +120,8 @@ class ViTBlock(nn.Module):
     def _seed(self, use_dropout):
         if not use_dropout:
             return jnp.int32(0)
-        return jax.random.randint(self.make_rng("dropout"), (), 0,
-                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        from videocad_tpu.ops.prng import derive_seed
+        return derive_seed(self.make_rng("dropout"))
 
     def __call__(self, x, deterministic=True):
         cfg = self.config

@@ -48,6 +48,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from videocad_tpu.ops.prng import keep_scale as _keep_scale
+from videocad_tpu.ops.prng import seed_arr as _seed_arr
+
 _NEG_INF = -1e30
 _ROW_CHUNK = 8    # dropout-bit generation unit (rows); divides every block_q
 _LANE_TILE = 128  # dropout bits draw in native register tiles (see below)
@@ -99,13 +102,6 @@ def _dot(a, b, contract_a, contract_b, precision):
     return jax.lax.dot_general(
         a, b, (((contract_a,), (contract_b,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-
-
-def _keep_scale(bits, dropout_rate):
-    """uint32 bits -> keep/(1-rate) multiplier (0 where dropped)."""
-    threshold = min(int(dropout_rate * (2 ** 32)), 2 ** 32 - 1)
-    return jnp.where(bits >= jnp.uint32(threshold),
-                     1.0 / (1.0 - dropout_rate), 0.0)
 
 
 def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
@@ -281,12 +277,6 @@ def _prep_inputs(q, k, v, mask, block_q, block_k):
                  ((0, 0), (0, s_pad - s), (0, 0)))
     mf = jnp.pad(mask.astype(jnp.int8), ((0, t_pad - t), (0, s_pad - s)))
     return qf, kf, vf, mf, t_pad, s_pad
-
-
-def _seed_arr(seed):
-    if seed is None:
-        seed = 0
-    return jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
 
 
 def _flash_forward(q, k, v, mask, seed, dropout_rate, block_q, block_k,

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from videocad_tpu.ops.prng import keep_mask
+
 
 def _batched_dot(a, b, contract_a, contract_b):
     """(N, M, K) x (N, ...) batched matmul, f32 accumulation."""
@@ -96,8 +98,7 @@ def _dropout_bits(seed_ref, block_b, num_heads, t):
 
 
 def _apply_dropout(weights, bits, dropout_rate):
-    threshold = min(int(dropout_rate * (2 ** 32)), 2 ** 32 - 1)
-    keep = bits >= jnp.uint32(threshold)
+    keep = keep_mask(bits, dropout_rate)
     return jnp.where(keep, weights / (1.0 - dropout_rate), 0.0), keep
 
 

@@ -40,11 +40,11 @@ Design notes
     across the sequential grid, so later programs reuse the copies.
   * Backward: full recompute from x (flash-style trade).  Weight/bias/LN
     gradients accumulate in f32 VMEM scratch across the grid and are
-    DMA'd to HBM outputs at the last program.  The attention backward
-    splits into two kernels to fit VMEM: ``_attn_bwd_dx`` (dx + dWo +
-    dbo + LN grads, small accumulators) and ``_attn_bwd_dwqkv`` (the
-    three (D, H*hd) f32 accumulators) — each recomputes the forward.
-    The grid is forced sequential (dimension_semantics 'arbitrary') so
+    DMA'd to HBM outputs at the last program.  The attention backward's
+    three (D, H*hd) qkv weight gradients do NOT fit alongside the rest:
+    the kernel instead emits the (h, dqkv) activations and the wrapper
+    computes dWqkv as one big XLA dot (see ``_attn_bwd_kernel``).  The
+    grid is forced sequential (dimension_semantics 'arbitrary') so
     read-modify-write accumulation is race-free on megacore parts.
   * Dropout runs on the TPU hardware PRNG with a per-ABSOLUTE-frame
     stream (seed, frame * n_sites + site), so the forward and backward
@@ -76,6 +76,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from videocad_tpu.ops.prng import keep_scale as _keep_scale
+from videocad_tpu.ops.prng import seed_arr as _seed_arr
+
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 # Dropout stream sites per frame (fwd and bwd must agree: the stream index
@@ -85,12 +88,6 @@ _SITE_ATTN_RES = 1  # attention residual-branch dropout, draw (T, D)
 _SITE_MLP_HID = 2   # post-GELU dropout, draw (T, F)
 _SITE_MLP_RES = 3   # MLP residual-branch dropout, draw (T, D)
 _N_SITES = 4
-
-
-def _keep_scale(bits, rate):
-    """uint32 bits -> keep/(1-rate) multiplier (0 where dropped)."""
-    threshold = min(int(rate * (2 ** 32)), 2 ** 32 - 1)
-    return jnp.where(bits >= jnp.uint32(threshold), 1.0 / (1.0 - rate), 0.0)
 
 
 def _draw(seed_ref, frame, site, shape):
@@ -215,12 +212,6 @@ def _choose_bb(b, per_frame_bytes, fixed_bytes):
 def _row(v):
     """(D,) param -> (1, D) f32 operand (TPU wants >=2D vectors)."""
     return jnp.reshape(v, (1, -1)).astype(jnp.float32)
-
-
-def _seed_arr(seed):
-    if seed is None:
-        seed = 0
-    return jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
 
 
 def _block_spec(bb, t, d):
@@ -593,7 +584,7 @@ def _attn_per_frame(t, d, inner, itemsize, n_scores, n_qkv):
             + 3 * t * d * itemsize)
 
 
-def _attn_in_specs(bb, t, d, f):
+def _attn_in_specs(bb, t, d):
     row_spec = functools.partial(pl.BlockSpec, index_map=lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     return [
@@ -622,7 +613,7 @@ def _attn_fwd(x, wq, wk, wv, wo, bo, g, be, seed, num_heads, rate, eps,
                           eps=eps, precision=precision),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         grid=(b // bb,),
-        in_specs=_attn_in_specs(bb, t, d, inner),
+        in_specs=_attn_in_specs(bb, t, d),
         out_specs=_block_spec(bb, t, d),
         scratch_shapes=[
             pltpu.VMEM((d, inner), x.dtype), pltpu.VMEM((d, inner), x.dtype),
@@ -658,7 +649,7 @@ def _attn_bwd_vjp(num_heads, rate, eps, interpret, precision, res, gy):
     per_frame = (_attn_per_frame(t, d, inner, itemsize, 5, 8)
                  + 2 * t * (d + 3 * inner) * itemsize)  # h/dqkv out blocks
     bb = _choose_bb(b, per_frame, fixed)
-    specs = _attn_in_specs(bb, t, d, inner)
+    specs = _attn_in_specs(bb, t, d)
     dx, h, dqkv, dwo, dbo, dg, dbe = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                           rate=rate, eps=eps, precision=precision),

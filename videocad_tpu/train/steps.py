@@ -80,9 +80,9 @@ def make_train_step(model, tx, loss_config: LossConfig, noise: bool = False,
         noise_rng, dropout_rng = jax.random.split(
             jax.random.fold_in(rng, state.step))
         if dropout_rng_impl != "threefry":
-            seed = jax.random.randint(dropout_rng, (), 0,
-                                      jnp.iinfo(jnp.int32).max)
-            dropout_rng = jax.random.key(seed, impl=dropout_rng_impl)
+            from videocad_tpu.ops.prng import derive_seed
+            dropout_rng = jax.random.key(derive_seed(dropout_rng),
+                                         impl=dropout_rng_impl)
         if noise:
             batch = dict(batch, actions=add_action_noise(
                 batch["actions"], noise_rng))
