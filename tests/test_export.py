@@ -1,0 +1,85 @@
+"""Serving export (.vcdx artifacts): round-trip fidelity vs the live model."""
+
+import json
+import os
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import TINY_CONFIG
+from videocad_tpu.data.synthetic import synthetic_batch_feed
+from videocad_tpu.infer.export import export_model, load_exported
+from videocad_tpu.infer.rollout import sequential_inference
+from videocad_tpu.models import create_model, init_model
+
+
+def _artifact(tmp_path, batch=1, bucket=6):
+    config = dict(TINY_CONFIG)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny.vcdx")
+    meta = export_model(config, params, batch, bucket, out)
+    return config, model, params, out, meta
+
+
+def test_export_roundtrip_forward_and_rollout(tmp_path):
+    config, model, params, out, meta = _artifact(tmp_path)
+    assert meta["format_version"] == 1 and meta["has_rollout"]
+    loaded = load_exported(out)
+
+    data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=0)
+    frames = jnp.asarray(data["frames"])
+    actions = jnp.asarray(data["actions"], jnp.float32)
+    cad = jnp.asarray(data["cad_image"])
+
+    # teacher-forced forward: artifact == live model (same backend)
+    live = model.apply(
+        {"params": params},
+        {"frames": frames[:, :-1], "actions": actions[:, :-1],
+         "cad_image": cad},
+        deterministic=True)
+    exported = loaded.forward(frames[:, :-1], actions[:, :-1], cad)
+    for a, b in zip(exported, live):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    # rollout: artifact == live scan engine
+    live_roll = sequential_inference(model, params, frames, cad)
+    exp_roll = loaded.rollout(frames, cad)
+    for a, b in zip(exp_roll, live_roll):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    # identical decoded action sequences
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(exp_roll[0], -1)),
+        np.asarray(jnp.argmax(live_roll[0], -1)))
+
+
+def test_artifact_layout_and_config(tmp_path):
+    config, _, _, out, _ = _artifact(tmp_path)
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+        assert {"config.json", "meta.json", "params.npz",
+                "forward.shlo", "rollout.shlo"} <= names
+        assert json.loads(zf.read("config.json")) == config
+
+
+def test_export_cli(tmp_path):
+    config_path = os.path.join(str(tmp_path), "configs.json")
+    with open(config_path, "w") as f:
+        json.dump({"tiny": dict(TINY_CONFIG)}, f)
+    out = os.path.join(str(tmp_path), "cli.vcdx")
+
+    from tools.export_model import main
+    main(["--model_config", config_path, "--model_name", "tiny",
+          "--batch", "1", "--bucket", "5", "--no_rollout", "--out", out])
+    loaded = load_exported(out)
+    assert loaded.meta["bucket_len"] == 5 and not loaded.meta["has_rollout"]
+    data = synthetic_batch_feed(1, 5, image_size=32, channels=3, seed=1)
+    cmd, par = loaded.forward(
+        jnp.asarray(data["frames"][:, :-1]),
+        jnp.asarray(data["actions"][:, :-1], jnp.float32),
+        jnp.asarray(data["cad_image"]))
+    assert cmd.shape[:2] == (1, 4) and np.isfinite(np.asarray(cmd)).all()

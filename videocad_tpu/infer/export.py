@@ -1,0 +1,167 @@
+"""Serving export: shape-specialized StableHLO artifacts via jax.export.
+
+The reference has no deployment story beyond "load the torch checkpoint in
+the research repo". This module packages a trained model into a single
+self-contained artifact a serving host can run without the framework's
+model code:
+
+  <name>.vcdx  (a zip)
+    config.json     model config (the reference model_configs schema)
+    meta.json       shapes, dtypes, jax version, artifact format version
+    params.npz      parameters, flattened by '/'-joined tree path
+    forward.shlo    serialized teacher-forced forward (jax.export)
+    rollout.shlo    serialized 186-step autoregressive rollout (optional)
+
+Exported functions are SHAPE-SPECIALIZED (batch size and padded sequence
+bucket are baked in — the same static-shape discipline the training stack
+uses); export one artifact per serving configuration. The functions take
+(params, inputs) so the weights stay a separate, swappable payload inside
+the artifact.
+
+Round-trip fidelity is test-enforced (tests/test_export.py): a loaded
+artifact's forward and rollout match the live model bit-for-bit on the
+export backend.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def _flatten_params(params: Dict) -> Dict[str, np.ndarray]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
+    params: Dict[str, Any] = {}
+    for key, value in flat.items():
+        node = params
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return params
+
+
+def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
+                 bucket_len: int, out_path: str,
+                 with_rollout: bool = True) -> Dict[str, Any]:
+    """Serialize the model into a .vcdx artifact; returns the meta dict.
+
+    config: a model_configs-style dict; params: the flax param pytree;
+    batch_size/bucket_len: the serving shapes to specialize for (the
+    forward consumes the teacher-shifted T = bucket_len - 1 frames, the
+    rollout consumes bucket_len frames — matching train/steps.py and
+    infer/rollout.py).
+    """
+    from jax import export as jax_export
+
+    from videocad_tpu.actions.vocab import ACT_DIM
+    from videocad_tpu.infer.rollout import sequential_inference
+    from videocad_tpu.models import create_model
+
+    model = create_model(config)
+    cfg = model.config
+    t = bucket_len - 1
+    img = (cfg.image_size, cfg.image_size, 3)
+    frames_spec = jax.ShapeDtypeStruct((batch_size, t) + img, jnp.uint8)
+    cad_hw = (256, 256, 3) if cfg.use_pretrained_cad_model else img
+    cad_spec = jax.ShapeDtypeStruct((batch_size,) + cad_hw, jnp.uint8)
+    actions_spec = jax.ShapeDtypeStruct((batch_size, t, ACT_DIM),
+                                        jnp.float32)
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+
+    def forward(p, frames, actions, cad_image):
+        inputs = {"frames": frames, "actions": actions,
+                  "cad_image": cad_image}
+        return model.apply({"params": p}, inputs, deterministic=True)
+
+    fwd_exp = jax_export.export(jax.jit(forward))(
+        params_spec, frames_spec, actions_spec, cad_spec)
+
+    roll_exp = None
+    if with_rollout:
+        roll_frames = jax.ShapeDtypeStruct((batch_size, bucket_len) + img,
+                                           jnp.uint8)
+
+        def rollout(p, frames, cad_image):
+            return sequential_inference(model, p, frames, cad_image)
+
+        roll_exp = jax_export.export(jax.jit(rollout))(
+            params_spec, roll_frames, cad_spec)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "batch_size": batch_size,
+        "bucket_len": bucket_len,
+        "image_size": cfg.image_size,
+        "export_platforms": list(fwd_exp.platforms),
+        "has_rollout": with_rollout,
+    }
+    flat = _flatten_params(params)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("config.json", json.dumps(config, indent=2))
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        zf.writestr("params.npz", buf.getvalue())
+        zf.writestr("forward.shlo", fwd_exp.serialize())
+        if roll_exp is not None:
+            zf.writestr("rollout.shlo", roll_exp.serialize())
+    return meta
+
+
+class ExportedModel:
+    """A loaded .vcdx artifact; runs without the framework's model code."""
+
+    def __init__(self, config: Dict, meta: Dict, params: Dict,
+                 forward_exp, rollout_exp):
+        self.config = config
+        self.meta = meta
+        self.params = params
+        self._forward = forward_exp
+        self._rollout = rollout_exp
+
+    def forward(self, frames, actions, cad_image) -> Tuple:
+        """Teacher-forced forward: (cmd logits, param logits)."""
+        return self._forward.call(self.params, frames, actions, cad_image)
+
+    def rollout(self, frames, cad_image) -> Tuple:
+        """Autoregressive 186-step rollout over ground-truth frames."""
+        if self._rollout is None:
+            raise ValueError("artifact was exported without a rollout")
+        return self._rollout.call(self.params, frames, cad_image)
+
+
+def load_exported(path: str) -> ExportedModel:
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path, "r") as zf:
+        config = json.loads(zf.read("config.json"))
+        meta = json.loads(zf.read("meta.json"))
+        with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
+            params = _unflatten_params({k: npz[k] for k in npz.files})
+        fwd = jax_export.deserialize(zf.read("forward.shlo"))
+        roll = None
+        if meta.get("has_rollout") and "rollout.shlo" in zf.namelist():
+            roll = jax_export.deserialize(zf.read("rollout.shlo"))
+    return ExportedModel(config, meta, params, fwd, roll)
