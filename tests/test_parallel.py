@@ -89,3 +89,27 @@ def test_shard_params_places_leaves(setup):
     sharded = shard_params(mesh, params)
     leaf = sharded["decoder"]["layers_0"]["linear1"]["kernel"]
     assert leaf.sharding.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+
+
+def test_block_kernels_under_dp_tp_mesh():
+    """The fused block kernels (ops/fused_block.py) run under a dp x tp
+    mesh: the pallas custom-calls have no partitioning rules, so XLA must
+    gather their operands — correctness (vs the XLA impl on the same mesh)
+    is what this asserts."""
+    model_b = create_model(dict(TINY_CONFIG, vit_attention_impl="block"))
+    model_x = create_model(dict(TINY_CONFIG))
+    params = init_model(model_x, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    data = synthetic_batch(np.random.default_rng(9), 8, 6, image_size=32)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    rng = jax.random.PRNGKey(3)
+
+    mesh = create_mesh(4, 2)
+    losses = {}
+    for name, model in (("block", model_b), ("xla", model_x)):
+        state, tx = create_sharded_train_state(params, {"lr": 1e-3}, mesh)
+        step = jax.jit(make_train_step(model, tx, LOSS_CFG))
+        _, loss, metrics = step(state, shard_batch(mesh, batch), rng)
+        assert np.isfinite(float(loss))
+        assert float(metrics["total_predictions"]) > 0
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["block"], losses["xla"], rtol=2e-4)
