@@ -8,9 +8,12 @@
 //
 // .vcb layout (little endian), one file per sequence:
 //   char[4]  magic "VCB1"
-//   u32      version (1)
+//   u32      version (1 or 2)
 //   u32      T, H, W, C, act_dim
+//   u32      V                      (version >= 2 only; v1 implies V = 0)
 //   u8       cad_image[H*W*C]
+//   u8       views[V*H*W*C]         (version >= 2; the multiview renders,
+//                                    reference data_loader.py:417-429)
 //   u8       frames[T*H*W*C]
 //   i32      actions[T*act_dim]
 //
@@ -34,6 +37,10 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x31424356;  // "VCB1"
+// Sanity bound on the per-row timestep count: a corrupt header must never
+// drive allocation or seek math (the longest real sequence is ~190 steps;
+// this is 3 orders of magnitude of headroom).
+constexpr uint32_t kMaxT = 1u << 20;
 
 // Frames dominate batch bytes (231 MB at the flagship shapes), so the hot
 // path avoids every avoidable pass over them: rows are fread() DIRECTLY
@@ -43,18 +50,33 @@ constexpr uint32_t kMagic = 0x31424356;  // "VCB1"
 // halved the per-core assembly rate.
 //
 // Reads a row into place. Returns true on success with *t_out = the
-// number of (bucket-clamped) timesteps written; on failure nothing is
-// written.
+// number of (bucket-clamped) timesteps written; on failure nothing
+// meaningful is written. Nothing here allocates proportionally to the
+// untrusted header T: the frames/actions reads are bucket-clamped and the
+// remainder is fseek'd past, so a corrupt T is rejected (kMaxT) or simply
+// runs the reads off EOF and fails cleanly.
 bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
-                   uint32_t c, uint32_t act_dim, uint32_t bucket_len,
-                   uint8_t* cad_dst, uint8_t* frames_dst, float* actions_dst,
+                   uint32_t c, uint32_t act_dim, uint32_t num_views,
+                   uint32_t bucket_len, uint8_t* cad_dst, uint8_t* views_dst,
+                   uint8_t* frames_dst, float* actions_dst,
                    uint32_t* t_out) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   uint32_t header[7];
   if (std::fread(header, sizeof(uint32_t), 7, f) != 7 ||
-      header[0] != kMagic || header[1] != 1 || header[3] != h ||
-      header[4] != w || header[5] != c || header[6] != act_dim) {
+      header[0] != kMagic || header[1] < 1 || header[1] > 2 ||
+      header[2] > kMaxT || header[3] != h || header[4] != w ||
+      header[5] != c || header[6] != act_dim) {
+    std::fclose(f);
+    return false;
+  }
+  uint32_t v = 0;
+  if (header[1] >= 2 &&
+      std::fread(&v, sizeof(uint32_t), 1, f) != 1) {
+    std::fclose(f);
+    return false;
+  }
+  if (v != num_views) {
     std::fclose(f);
     return false;
   }
@@ -62,16 +84,19 @@ bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
   const uint32_t tt = std::min(t, bucket_len);
   const size_t img = static_cast<size_t>(h) * w * c;
   bool ok = std::fread(cad_dst, 1, img, f) == img;
+  if (v > 0) {
+    ok = ok && std::fread(views_dst, 1, img * v, f) == img * v;
+  }
   ok = ok && std::fread(frames_dst, 1, img * tt, f) == img * tt;
   if (ok && t > tt) {
     ok = std::fseek(f, static_cast<long>(img * (t - tt)), SEEK_CUR) == 0;
   }
-  std::vector<int32_t> actions(static_cast<size_t>(t) * act_dim);
+  std::vector<int32_t> actions(static_cast<size_t>(tt) * act_dim);
   ok = ok && std::fread(actions.data(), sizeof(int32_t), actions.size(),
                         f) == actions.size();
   std::fclose(f);
   if (!ok) return false;
-  for (size_t i = 0; i < static_cast<size_t>(tt) * act_dim; ++i) {
+  for (size_t i = 0; i < actions.size(); ++i) {
     actions_dst[i] = static_cast<float>(actions[i]);
   }
   *t_out = tt;
@@ -79,35 +104,40 @@ bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
 }
 
 struct Batch {
-  // frames/cad are raw arrays: new[] leaves POD storage uninitialized,
-  // letting assemble() write each byte exactly once (fread or tail zero).
+  // frames/cad/views are raw arrays: new[] leaves POD storage
+  // uninitialized, letting assemble() write each byte exactly once
+  // (fread or tail zero).
   std::unique_ptr<uint8_t[]> frames;  // [B, L, H, W, C]
   size_t frames_size = 0;
   std::vector<float> actions;         // [B, L, act_dim], pad -1
   std::unique_ptr<uint8_t[]> cad;     // [B, H, W, C]
   size_t cad_size = 0;
+  std::unique_ptr<uint8_t[]> views;   // [B, V, H, W, C] (V > 0 only)
+  size_t views_size = 0;
   std::vector<int32_t> indices;       // source sequence index per row
 };
 
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch_size, int bucket_len,
-         int h, int w, int c, int act_dim, int prefetch, int num_threads,
-         int host_id, int num_hosts)
+         int h, int w, int c, int act_dim, int num_views, int prefetch,
+         int num_threads, int host_id, int num_hosts)
       : paths_(std::move(paths)),
         batch_size_(batch_size),
         bucket_len_(bucket_len),
         h_(h), w_(w), c_(c), act_dim_(act_dim),
+        num_views_(num_views < 0 ? 0 : num_views),
         prefetch_(prefetch < 1 ? 1 : prefetch),
         num_threads_(num_threads < 1 ? 1 : num_threads),
-        num_hosts_(num_hosts < 1 ? 1 : num_hosts) {
-    // Clamp into [0, num_hosts): a host_id >= num_hosts would make this
-    // host's strided order_ slice shorter than num_batches()*batch_size
-    // and assemble() would index order_ out of bounds.
-    host_id_ = ((host_id % num_hosts_) + num_hosts_) % num_hosts_;
-  }
+        num_hosts_(num_hosts < 1 ? 1 : num_hosts),
+        host_id_(host_id) {}
 
   ~Loader() { stop(); }
+
+  // A host_id outside [0, num_hosts) is a misconfigured multi-host launch:
+  // wrapping it silently would duplicate one host's shard and starve
+  // another. Checked at creation (vcb_loader_create returns null).
+  bool valid() const { return host_id_ >= 0 && host_id_ < num_hosts_; }
 
   int num_batches() const {
     // Per-host share (DistributedSampler semantics: every host consumes
@@ -115,6 +145,8 @@ class Loader {
     // data_loader.py:177-183), drop_last.
     return static_cast<int>(paths_.size() / num_hosts_) / batch_size_;
   }
+
+  int num_views() const { return num_views_; }
 
   long long skipped_rows() const { return skipped_rows_.load(); }
 
@@ -146,10 +178,11 @@ class Loader {
     }
   }
 
-  // Copies the next batch into caller buffers. Returns 1 on success,
+  // Copies the next batch into caller buffers (views_out ignored when the
+  // loader was created with num_views == 0). Returns 1 on success,
   // 0 at end of epoch.
   int next(uint8_t* frames_out, float* actions_out, uint8_t* cad_out,
-           int32_t* indices_out) {
+           uint8_t* views_out, int32_t* indices_out) {
     const int total = num_batches();
     if (emitted_ >= total) return 0;
     Batch batch;
@@ -168,6 +201,9 @@ class Loader {
     std::memcpy(actions_out, batch.actions.data(),
                 batch.actions.size() * sizeof(float));
     std::memcpy(cad_out, batch.cad.get(), batch.cad_size);
+    if (num_views_ > 0 && views_out != nullptr) {
+      std::memcpy(views_out, batch.views.get(), batch.views_size);
+    }
     std::memcpy(indices_out, batch.indices.data(),
                 batch.indices.size() * sizeof(int32_t));
     ++emitted_;
@@ -197,6 +233,7 @@ class Loader {
   Batch assemble(int batch_id) {
     const size_t img = static_cast<size_t>(h_) * w_ * c_;
     const size_t row = static_cast<size_t>(bucket_len_) * img;
+    const size_t views_row = static_cast<size_t>(num_views_) * img;
     Batch batch;
     batch.frames_size = static_cast<size_t>(batch_size_) * row;
     batch.frames.reset(new uint8_t[batch.frames_size]);
@@ -204,22 +241,36 @@ class Loader {
         static_cast<size_t>(batch_size_) * bucket_len_ * act_dim_, -1.0f);
     batch.cad_size = static_cast<size_t>(batch_size_) * img;
     batch.cad.reset(new uint8_t[batch.cad_size]);
+    if (num_views_ > 0) {
+      batch.views_size = static_cast<size_t>(batch_size_) * views_row;
+      batch.views.reset(new uint8_t[batch.views_size]);
+    }
     batch.indices.assign(batch_size_, -1);
     for (int b = 0; b < batch_size_; ++b) {
       const size_t idx = order_[batch_id * batch_size_ + b];
       batch.indices[b] = static_cast<int32_t>(idx);
       uint8_t* frames_dst = batch.frames.get() + static_cast<size_t>(b) * row;
       uint8_t* cad_dst = batch.cad.get() + static_cast<size_t>(b) * img;
+      uint8_t* views_dst =
+          num_views_ > 0
+              ? batch.views.get() + static_cast<size_t>(b) * views_row
+              : nullptr;
       float* actions_dst =
           &batch.actions[static_cast<size_t>(b) * bucket_len_ * act_dim_];
       uint32_t t = 0;
-      if (!read_vcb_into(paths_[idx], h_, w_, c_, act_dim_, bucket_len_,
-                         cad_dst, frames_dst, actions_dst, &t)) {
+      if (!read_vcb_into(paths_[idx], h_, w_, c_, act_dim_, num_views_,
+                         bucket_len_, cad_dst, views_dst, frames_dst,
+                         actions_dst, &t)) {
         // Zero the row (all actions stay -1 => fully masked in the loss)
         // but COUNT it — silent corruption must surface; the Python side
         // raises above its threshold (data/native.py).
         std::memset(frames_dst, 0, row);
         std::memset(cad_dst, 0, img);
+        if (views_dst != nullptr) std::memset(views_dst, 0, views_row);
+        for (size_t i = 0; i < static_cast<size_t>(bucket_len_) * act_dim_;
+             ++i) {
+          actions_dst[i] = -1.0f;
+        }
         skipped_rows_.fetch_add(1);
         std::fprintf(stderr,
                      "[vcb_loader] skipping corrupt/mismatched row: %s\n",
@@ -243,9 +294,8 @@ class Loader {
   }
 
   std::vector<std::string> paths_;
-  const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, prefetch_,
-      num_threads_, num_hosts_;
-  int host_id_ = 0;  // clamped into [0, num_hosts_) in the constructor
+  const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, num_views_,
+      prefetch_, num_threads_, num_hosts_, host_id_;
   std::atomic<long long> skipped_rows_{0};
   std::vector<size_t> order_;
   std::vector<std::thread> workers_;
@@ -263,11 +313,21 @@ extern "C" {
 
 void* vcb_loader_create(const char** paths, int num_paths, int batch_size,
                         int bucket_len, int h, int w, int c, int act_dim,
-                        int prefetch, int num_threads, int host_id,
-                        int num_hosts) {
+                        int num_views, int prefetch, int num_threads,
+                        int host_id, int num_hosts) {
   std::vector<std::string> path_vec(paths, paths + num_paths);
-  return new Loader(std::move(path_vec), batch_size, bucket_len, h, w, c,
-                    act_dim, prefetch, num_threads, host_id, num_hosts);
+  auto* loader =
+      new Loader(std::move(path_vec), batch_size, bucket_len, h, w, c,
+                 act_dim, num_views, prefetch, num_threads, host_id,
+                 num_hosts);
+  if (!loader->valid()) {
+    std::fprintf(stderr,
+                 "[vcb_loader] host_id %d out of range [0, %d)\n", host_id,
+                 num_hosts);
+    delete loader;
+    return nullptr;
+  }
+  return loader;
 }
 
 long long vcb_loader_skipped_rows(void* handle) {
@@ -284,22 +344,33 @@ void vcb_loader_start_epoch(void* handle, int epoch, uint64_t seed,
 }
 
 int vcb_loader_next(void* handle, uint8_t* frames, float* actions,
-                    uint8_t* cad, int32_t* indices) {
-  return static_cast<Loader*>(handle)->next(frames, actions, cad, indices);
+                    uint8_t* cad, uint8_t* views, int32_t* indices) {
+  return static_cast<Loader*>(handle)->next(frames, actions, cad, views,
+                                            indices);
 }
 
 void vcb_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 // Standalone .vcb writer so converters need no Python-side binary packing.
+// Writes version 1 (byte-identical to the original format) when
+// num_views == 0, version 2 with the views payload otherwise.
 int vcb_write(const char* path, uint32_t t, uint32_t h, uint32_t w,
-              uint32_t c, uint32_t act_dim, const uint8_t* cad,
+              uint32_t c, uint32_t act_dim, uint32_t num_views,
+              const uint8_t* cad, const uint8_t* views,
               const uint8_t* frames, const int32_t* actions) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return 0;
-  uint32_t header[7] = {kMagic, 1, t, h, w, c, act_dim};
+  const uint32_t version = num_views > 0 ? 2 : 1;
+  uint32_t header[7] = {kMagic, version, t, h, w, c, act_dim};
   const size_t img = static_cast<size_t>(h) * w * c;
   bool ok = std::fwrite(header, sizeof(uint32_t), 7, f) == 7;
+  if (version >= 2) {
+    ok = ok && std::fwrite(&num_views, sizeof(uint32_t), 1, f) == 1;
+  }
   ok = ok && std::fwrite(cad, 1, img, f) == img;
+  if (num_views > 0) {
+    ok = ok && std::fwrite(views, 1, img * num_views, f) == img * num_views;
+  }
   ok = ok && std::fwrite(frames, 1, img * t, f) == img * t;
   ok = ok && std::fwrite(actions, sizeof(int32_t),
                          static_cast<size_t>(t) * act_dim, f) ==

@@ -182,7 +182,11 @@ class VideoCADDataset:
         }
         if self.view_ids:
             views = []
-            base_dir = self.multiview_dir or os.path.dirname(self.data_files[idx])
+            # base_dir is a store ROOT: <base>/<id[:4]>/<id>_<view>.png
+            # (reference data_loader.py:417-425) — default to the dataset
+            # root so views living beside the pickles resolve.
+            base_dir = self.multiview_dir or os.path.dirname(
+                os.path.dirname(self.data_files[idx]))
             for view_id in self.view_ids:
                 path = os.path.join(base_dir, file_id[:4],
                                     f"{file_id}_{view_id}.png")
@@ -197,7 +201,7 @@ class VideoCADDataset:
         for idx in range(len(self)):
             file_id = self.sequence_id(idx)
             base_dir = self.multiview_dir or os.path.dirname(
-                self.data_files[idx])
+                os.path.dirname(self.data_files[idx]))
             for view_id in self.view_ids:
                 path = os.path.join(base_dir, file_id[:4],
                                     f"{file_id}_{view_id}.png")

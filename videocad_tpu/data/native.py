@@ -47,7 +47,7 @@ def load_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int]
     lib.vcb_loader_num_batches.restype = ctypes.c_int
     lib.vcb_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.vcb_loader_skipped_rows.restype = ctypes.c_longlong
@@ -58,30 +58,43 @@ def load_library():
     lib.vcb_loader_next.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.vcb_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.vcb_write.restype = ctypes.c_int
     lib.vcb_write.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
-        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int32)]
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
 
 
 def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
-              actions: np.ndarray):
-    """Write one sequence as a .vcb file (via the native writer)."""
+              actions: np.ndarray, views: Optional[np.ndarray] = None):
+    """Write one sequence as a .vcb file (via the native writer).
+
+    ``views``: optional (V, H, W, C) uint8 multiview renders — written as a
+    version-2 file; without views the file is the original version-1 format.
+    """
     lib = load_library()
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     cad = np.ascontiguousarray(cad, dtype=np.uint8)
     actions = np.ascontiguousarray(actions, dtype=np.int32)
     t, h, w, c = frames.shape
     assert cad.shape == (h, w, c), (cad.shape, frames.shape)
+    num_views = 0
+    views_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    if views is not None:
+        views = np.ascontiguousarray(views, dtype=np.uint8)
+        assert views.shape[1:] == (h, w, c), (views.shape, frames.shape)
+        num_views = views.shape[0]
+        views_ptr = views.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     ok = lib.vcb_write(
-        path.encode(), t, h, w, c, actions.shape[1],
+        path.encode(), t, h, w, c, actions.shape[1], num_views,
         cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        views_ptr,
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if not ok:
@@ -89,30 +102,48 @@ def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
 
 
 def convert_store_to_vcb(store_dir: str, out_dir: str,
-                         ids: Optional[Sequence[str]] = None) -> int:
-    """Convert a reference pickle store into .vcb shards (one-time ETL)."""
+                         ids: Optional[Sequence[str]] = None,
+                         view_ids: Optional[Sequence[str]] = None,
+                         multiview_dir: Optional[str] = None) -> int:
+    """Convert a reference pickle store into .vcb shards (one-time ETL).
+
+    With ``view_ids`` the multiview render PNGs (reference
+    data_loader.py:417-429) are packed into version-2 files so the native
+    loader can serve multiview configs.
+    """
     from videocad_tpu.data.dataset import VideoCADDataset
     from videocad_tpu.etl.dataset_gen import shard_path
-    from PIL import Image
 
-    dataset = VideoCADDataset(store_dir, ids=ids)
+    dataset = VideoCADDataset(store_dir, ids=ids, view_ids=view_ids,
+                              multiview_dir=multiview_dir)
     count = 0
     for i in range(len(dataset)):
         item = dataset[i]
         file_id = dataset.sequence_id(i)
         frames = item["frames"]
         h, w, c = frames.shape[1:]
-        cad = item["cad_image"]
-        if cad.shape[:2] != (h, w):
-            cad = np.asarray(Image.fromarray(cad).resize((w, h)))
-        if cad.ndim == 2:
-            cad = cad[..., None]
-        if cad.shape[-1] != c:
-            cad = cad[..., :c] if cad.shape[-1] > c else np.repeat(cad, c, -1)
+        cad = _match_channels(item["cad_image"], h, w, c)
+        views = item.get("multiview_images")
+        if views is not None:
+            views = np.stack([_match_channels(v, h, w, c) for v in views])
         path = shard_path(out_dir, file_id, "vcb", "data")
-        write_vcb(path, cad, frames, item["actions"].astype(np.int32))
+        write_vcb(path, cad, frames, item["actions"].astype(np.int32),
+                  views=views)
         count += 1
     return count
+
+
+def _match_channels(img: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Resize/reshape an image to the frames' (H, W, C) packing shape."""
+    from PIL import Image
+
+    if img.shape[:2] != (h, w):
+        img = np.asarray(Image.fromarray(img).resize((w, h)))
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] != c:
+        img = img[..., :c] if img.shape[-1] > c else np.repeat(img, c, -1)
+    return img
 
 
 def scan_vcb(root: str) -> list:
@@ -129,23 +160,30 @@ class NativePipeline:
 
     def __init__(self, paths: Sequence[str], batch_size: int, bucket_len: int,
                  image_shape=(224, 224, 3), act_dim: int = 7,
-                 shuffle: bool = True, seed: int = 42, prefetch: int = 2,
-                 num_threads: int = 2, host_id: int = 0, num_hosts: int = 1,
-                 max_skipped_rows: int = 0):
+                 num_views: int = 0, shuffle: bool = True, seed: int = 42,
+                 prefetch: int = 2, num_threads: int = 2, host_id: int = 0,
+                 num_hosts: int = 1, max_skipped_rows: int = 0):
         """``host_id``/``num_hosts``: per-host sharding of the globally
         shuffled order (the reference DistributedSampler semantics,
         data_loader.py:177-183) — on a pod each process consumes a
         disjoint 1/num_hosts slice, reshuffled every epoch.
+        ``num_views``: > 0 reads version-2 .vcb files and yields
+        ``multiview_images`` (B, V, H, W, C) uint8.
         ``max_skipped_rows``: corrupt/mismatched .vcb rows are padded out
         and counted; more than this many per epoch raises."""
         if not paths:
             raise ValueError("no .vcb files given")
+        if not 0 <= host_id < num_hosts:
+            raise ValueError(
+                f"host_id {host_id} out of range [0, {num_hosts}): a "
+                "misconfigured multi-host launch would duplicate shards")
         self.lib = load_library()
         self.paths = list(paths)
         self.batch_size = batch_size
         self.bucket_len = bucket_len
         self.h, self.w, self.c = image_shape
         self.act_dim = act_dim
+        self.num_views = num_views
         self.shuffle = shuffle
         self.seed = seed
         self.max_skipped_rows = max_skipped_rows
@@ -153,8 +191,10 @@ class NativePipeline:
             *[p.encode() for p in self.paths])
         self._handle = self.lib.vcb_loader_create(
             arr, len(self.paths), batch_size, bucket_len,
-            self.h, self.w, self.c, act_dim, prefetch, num_threads,
-            host_id, num_hosts)
+            self.h, self.w, self.c, act_dim, num_views, prefetch,
+            num_threads, host_id, num_hosts)
+        if not self._handle:
+            raise ValueError("vcb_loader_create failed (see stderr)")
 
     def __len__(self) -> int:
         return self.lib.vcb_loader_num_batches(self._handle)
@@ -162,17 +202,19 @@ class NativePipeline:
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         self.lib.vcb_loader_start_epoch(self._handle, epoch, self.seed,
                                         int(self.shuffle))
-        b, l = self.batch_size, self.bucket_len
+        b, l, v = self.batch_size, self.bucket_len, self.num_views
         while True:
             frames = np.empty((b, l, self.h, self.w, self.c), np.uint8)
             actions = np.empty((b, l, self.act_dim), np.float32)
             cad = np.empty((b, self.h, self.w, self.c), np.uint8)
+            views = np.empty((b, max(v, 1), self.h, self.w, self.c), np.uint8)
             indices = np.empty((b,), np.int32)
             ok = self.lib.vcb_loader_next(
                 self._handle,
                 frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                views.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             if not ok:
                 skipped = self.skipped_rows()
@@ -183,7 +225,7 @@ class NativePipeline:
                         f"(max_skipped_rows={self.max_skipped_rows}); "
                         f"see stderr for the offending paths")
                 return
-            yield {
+            batch = {
                 "frames": frames,
                 "actions": actions,
                 "cad_image": cad,
@@ -191,6 +233,9 @@ class NativePipeline:
                 "ids": [os.path.basename(self.paths[i]).split("_")[0]
                         for i in indices],
             }
+            if v > 0:
+                batch["multiview_images"] = views
+            yield batch
 
     def skipped_rows(self) -> int:
         """Corrupt/mismatched rows padded out so far this epoch."""
