@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from videocad_tpu.ops.prng import keep_scale as _keep_scale
+from videocad_tpu.ops.prng import require_seed as _require_seed
 from videocad_tpu.ops.prng import seed_arr as _seed_arr
 
 _NEG_INF = -1e30
@@ -415,6 +416,7 @@ def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
     when dropout_rate > 0; TPU only — see module docstring).
     Returns (B, T, H, D) in q's dtype.
     """
+    _require_seed(seed, dropout_rate, "flash_attention")
     block_q, block_k = _resolve_blocks(q, k, block_q, block_k)
     out, _ = _flash_forward(q, k, v, mask, seed, dropout_rate,
                             block_q, block_k, precision)
@@ -422,6 +424,7 @@ def flash_attention(q, k, v, mask: Optional[jnp.ndarray] = None,
 
 
 def _fwd(q, k, v, mask, seed, dropout_rate, block_q, block_k, precision):
+    _require_seed(seed, dropout_rate, "flash_attention")
     block_q, block_k = _resolve_blocks(q, k, block_q, block_k)
     out, lse = _flash_forward(q, k, v, mask, seed, dropout_rate,
                               block_q, block_k, precision)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from videocad_tpu.ops.prng import keep_mask
+from videocad_tpu.ops.prng import keep_mask, require_seed
 
 
 def _batched_dot(a, b, contract_a, contract_b):
@@ -200,6 +200,7 @@ def mhsa_short(q, k, v, seed, num_heads: int, dropout_rate: float = 0.0,
 
 
 def _mhsa_fwd(q, k, v, seed, num_heads, dropout_rate, interpret):
+    require_seed(seed, dropout_rate, "mhsa_short")
     b, t, hd = q.shape
     head_dim = hd // num_heads
     block_b = _choose_block_b(b, t, num_heads, head_dim, q.dtype.itemsize,

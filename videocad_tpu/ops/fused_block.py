@@ -77,6 +77,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from videocad_tpu.ops.prng import keep_scale as _keep_scale
+from videocad_tpu.ops.prng import require_seed as _require_seed
 from videocad_tpu.ops.prng import seed_arr as _seed_arr
 
 _VMEM_BUDGET = 13 * 1024 * 1024
@@ -338,6 +339,7 @@ def mlp_block(x, w1, b1, w2, b2, g, be, seed, dropout_rate: float = 0.0,
 
 def _mlp_fwd(x, w1, b1, w2, b2, g, be, seed, rate, eps, interpret,
              precision):
+    _require_seed(seed, rate, "mlp_block")
     b, t, d = x.shape
     f = w1.shape[1]
     itemsize = x.dtype.itemsize
@@ -603,6 +605,7 @@ def _attn_args(x, wq, wk, wv, wo, bo, g, be, seed):
 
 def _attn_fwd(x, wq, wk, wv, wo, bo, g, be, seed, num_heads, rate, eps,
               interpret, precision):
+    _require_seed(seed, rate, "attn_block")
     b, t, d = x.shape
     inner = wq.shape[1]
     itemsize = x.dtype.itemsize

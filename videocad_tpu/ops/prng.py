@@ -29,10 +29,24 @@ def keep_scale(bits, rate: float):
 
 
 def seed_arr(seed) -> jnp.ndarray:
-    """Scalar (or None) -> the (1,) int32 SMEM operand kernels expect."""
+    """Scalar (or None) -> the (1,) int32 SMEM operand kernels expect.
+
+    None maps to 0 ONLY for dropout-free calls; entry points must call
+    require_seed first so an active dropout never silently reuses seed 0
+    (and therefore the identical mask) every step.
+    """
     if seed is None:
         seed = 0
     return jnp.reshape(jnp.asarray(seed, jnp.int32), (1,))
+
+
+def require_seed(seed, dropout_rate: float, op: str) -> None:
+    """Trace-time guard: an active dropout needs an explicit seed."""
+    if dropout_rate > 0.0 and seed is None:
+        raise ValueError(
+            f"{op}: dropout_rate={dropout_rate} > 0 requires an explicit "
+            "int32 seed (derive one per step via prng.derive_seed); "
+            "defaulting to 0 would reuse the same dropout mask every step")
 
 
 def derive_seed(rng) -> jnp.ndarray:
