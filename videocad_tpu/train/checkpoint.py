@@ -5,6 +5,14 @@ loss}`` but never restores the optimizer and always restarts at epoch 0
 (SURVEY.md §5 checkpoint/resume). Here a checkpoint is the full TrainState
 (params + optimizer moments + step) plus metadata, and ``restore`` resumes
 training exactly where it stopped.
+
+Multi-host correctness: the sharded state is handed to Orbax as-is — each
+process serializes only its addressable shards and Orbax coordinates the
+cross-process commit (no ``jax.device_get``, which would raise on
+non-addressable shards of a pod-sharded array). Host-side metadata is
+written by process 0 only, after the async save is finalized; the save/
+restore/resume round trip under a mesh is exercised by
+``__graft_entry__._dryrun_body``.
 """
 
 from __future__ import annotations
@@ -34,12 +42,17 @@ class CheckpointHandler:
              is_best: bool = False, name: Optional[str] = None):
         name = name or ("best_model" if is_best else f"epoch_{epoch + 1}")
         path = self._path(name)
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        # Every process participates: Orbax writes each process's
+        # addressable shards and commits the directory once (atomic
+        # rename on the primary host). Fetching the state to host first
+        # would break on a pod — non-addressable shards raise.
+        self._ckptr.save(path, state, force=True)
         # Orbax finalizes the directory asynchronously (atomic rename);
         # block before writing metadata into it.
         self._ckptr.wait_until_finished()
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"epoch": epoch + 1, "loss": float(loss)}, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"epoch": epoch + 1, "loss": float(loss)}, f)
         return path
 
     def restore(self, name: str, target: TrainState

@@ -113,9 +113,19 @@ def make_eval_step(model, loss_config: LossConfig, ablate_cad: bool = False):
 
 def jit_train_step(train_step, mesh=None, batch_sharding=None,
                    state_shardings=None):
-    """jit with donation; shardings optional (single-device tests skip them)."""
+    """jit with donation; shardings optional (single-device tests skip them).
+
+    With a mesh, the state/batch shardings are pinned as in/out
+    constraints: GSPMD is then contractually bound to the TP/DP layout
+    every step instead of merely inheriting it from the committed inputs
+    (which leaves it free to re-layout the optimizer state between steps).
+    The rng key and the scalar loss/metric outputs are replicated.
+    """
     kwargs = {}
     if batch_sharding is not None:
-        kwargs["in_shardings"] = (state_shardings, batch_sharding, None)
-        kwargs["out_shardings"] = (state_shardings, None, None)
+        from videocad_tpu.parallel.mesh import replicated
+
+        rep = replicated(mesh) if mesh is not None else None
+        kwargs["in_shardings"] = (state_shardings, batch_sharding, rep)
+        kwargs["out_shardings"] = (state_shardings, rep, rep)
     return jax.jit(train_step, donate_argnums=(0,), **kwargs)

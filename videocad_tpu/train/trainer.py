@@ -90,9 +90,23 @@ class Trainer:
                 params, training_config, freeze_cad)
 
         noise = training_config.get("noise", False)
-        self._train_step = jax.jit(
-            make_train_step(model, self.tx, loss_config, noise=noise),
-            donate_argnums=(0,))
+        step_fn = make_train_step(model, self.tx, loss_config, noise=noise,
+                                  dropout_rng_impl=training_config.get(
+                                      "dropout_rng_impl", "rbg"))
+        if mesh is not None:
+            # Pin the DP/TP layout as explicit in/out sharding constraints
+            # (the state was created sharded; its leaf shardings ARE the
+            # contract) so GSPMD cannot re-layout the optimizer state.
+            from videocad_tpu.parallel.mesh import batch_sharding
+            from videocad_tpu.train.steps import jit_train_step
+
+            state_shardings = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state)
+            self._train_step = jit_train_step(
+                step_fn, mesh=mesh, batch_sharding=batch_sharding(mesh),
+                state_shardings=state_shardings)
+        else:
+            self._train_step = jax.jit(step_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(model, loss_config))
         self._eval_step_ablation = jax.jit(
             make_eval_step(model, loss_config, ablate_cad=True))
