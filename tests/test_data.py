@@ -99,6 +99,47 @@ def test_pipeline_yields_padded_batches(tiny_store):
         assert b["actions"].dtype == np.float32
 
 
+def test_pipeline_multi_worker_preserves_order(tiny_store):
+    """2-worker assembly yields the exact batches (and order) of 1-worker
+    (VERDICT r2 next-round #7: ordered multi-worker emission)."""
+    root, _, _ = tiny_store
+    ds = VideoCADDataset(root)
+    one = DataPipeline(ds, batch_size=2, buckets=(16,), seed=3,
+                       num_workers=1)
+    two = DataPipeline(ds, batch_size=2, buckets=(16,), seed=3,
+                       num_workers=2)
+    batches1 = list(one.epoch(0))
+    batches2 = list(two.epoch(0))
+    assert len(batches1) == len(batches2) == 3
+    for b1, b2 in zip(batches1, batches2):
+        assert b1["ids"] == b2["ids"]
+        np.testing.assert_array_equal(b1["frames"], b2["frames"])
+        np.testing.assert_array_equal(b1["actions"], b2["actions"])
+
+
+def test_pipeline_worker_errors_surface(tiny_store):
+    root, _, _ = tiny_store
+    ds = VideoCADDataset(root)
+    pipe = DataPipeline(ds, batch_size=2, buckets=(16,), seed=0,
+                        num_workers=2)
+    original = pipe._assemble
+
+    def boom(indices):
+        raise RuntimeError("assembly exploded")
+
+    pipe._assemble = boom
+    with pytest.raises(RuntimeError, match="assembly exploded"):
+        list(pipe.epoch(0))
+    pipe._assemble = original
+
+    # An early consumer break neither hangs nor leaks: the pool is
+    # cancelled and a fresh epoch still works.
+    it = pipe.epoch(0)
+    next(it)
+    it.close()
+    assert len(list(pipe.epoch(1))) == 3
+
+
 def test_grayscale_normalize_matches_reference_math():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
