@@ -26,7 +26,7 @@ def _artifact(tmp_path, batch=1, bucket=6):
 
 def test_export_roundtrip_forward_and_rollout(tmp_path):
     config, model, params, out, meta = _artifact(tmp_path)
-    assert meta["format_version"] == 1 and meta["has_rollout"]
+    assert meta["format_version"] == 2 and meta["has_rollout"]
     loaded = load_exported(out)
 
     data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=0)
@@ -62,8 +62,38 @@ def test_artifact_layout_and_config(tmp_path):
     with zipfile.ZipFile(out) as zf:
         names = set(zf.namelist())
         assert {"config.json", "meta.json", "params.npz",
-                "forward.shlo", "rollout.shlo"} <= names
+                "forward.shlo", "rollout.shlo", "decode_init.shlo",
+                "decode_step.shlo"} <= names
         assert json.loads(zf.read("config.json")) == config
+
+
+def test_exported_decode_step_equals_rollout(tmp_path):
+    """Driving the exported incremental pair frame by frame equals the
+    exported batch rollout, step for step (VERDICT r2 next-round #4)."""
+    config, model, params, out, meta = _artifact(tmp_path)
+    assert meta["has_decode"]
+    loaded = load_exported(out)
+
+    data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=2)
+    frames = jnp.asarray(data["frames"])
+    cad = jnp.asarray(data["cad_image"])
+    roll_cmds, roll_params = loaded.rollout(frames, cad)
+
+    carry = loaded.decode_init(cad)
+    step_cmds, step_params = [], []
+    for i in range(frames.shape[1]):
+        carry, cmd_logits, param_logits = loaded.decode_step(
+            frames[:, i], carry)
+        step_cmds.append(np.asarray(cmd_logits))
+        step_params.append(np.asarray(param_logits))
+    np.testing.assert_allclose(np.stack(step_cmds, 1),
+                               np.asarray(roll_cmds), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.stack(step_params, 1),
+                               np.asarray(roll_params), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.argmax(np.stack(step_cmds, 1), -1),
+        np.asarray(jnp.argmax(roll_cmds, -1)))
 
 
 def test_export_cli(tmp_path):

@@ -1,0 +1,80 @@
+"""Incremental (frame-at-a-time) decode equals the batch rollout.
+
+VERDICT r2 next-round #4: a host driving ``incremental_decode_step`` once
+per arriving frame must produce, step for step, exactly the sequence the
+all-frames-upfront batch rollout (infer/rollout.py) produces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import TINY_CONFIG
+from videocad_tpu.infer.incremental import (
+    incremental_decode_step,
+    init_decode_carry,
+)
+from videocad_tpu.infer.rollout import sequential_inference
+from videocad_tpu.models import create_model, init_model
+
+
+def _build(config_overrides):
+    cfg_dict = dict(TINY_CONFIG, **config_overrides)
+    model = create_model(cfg_dict)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    return model, params
+
+
+def _frames(b, t, size, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, 256, (b, t, size, size, 3),
+                                    dtype=np.uint8))
+
+
+@pytest.mark.parametrize("overrides", [
+    # flagship wiring: actions + states + timestep embedding
+    dict(enable_past_actions=True, enable_past_states=True,
+         enable_timestep_embedding=True, window_size=3),
+    # actions only (frames never join the memory — reference quirk)
+    dict(enable_past_actions=True, enable_past_states=False,
+         enable_timestep_embedding=False, window_size=2),
+], ids=["actions+states+ts", "actions-only"])
+def test_incremental_equals_batch_rollout(overrides):
+    model, params = _build(overrides)
+    cfg = model.config
+    b, t = 2, 6
+    frames = _frames(b, t, cfg.image_size)
+    cad = _frames(b, 1, cfg.image_size, seed=1)[:, 0]
+
+    batch_cmds, batch_params = sequential_inference(model, params, frames,
+                                                    cad)
+
+    carry = init_decode_carry(model, params, cad, seq_len=t)
+    step_cmds, step_params = [], []
+    for i in range(t):
+        carry, cmd_logits, param_logits = incremental_decode_step(
+            model, params, frames[:, i], carry)
+        step_cmds.append(cmd_logits)
+        step_params.append(param_logits)
+    inc_cmds = jnp.stack(step_cmds, axis=1)
+    inc_params = jnp.stack(step_params, axis=1)
+
+    np.testing.assert_allclose(np.asarray(inc_cmds),
+                               np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inc_params),
+                               np.asarray(batch_params), rtol=1e-5,
+                               atol=1e-5)
+    # The decoded action sequences (the serving output) match exactly.
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(inc_cmds), -1),
+        np.argmax(np.asarray(batch_cmds), -1))
+    assert int(carry["t"]) == t
+
+
+def test_incremental_rejects_no_action_feedback():
+    model, params = _build(dict(enable_past_actions=False,
+                                enable_past_states=True))
+    cad = _frames(1, 1, model.config.image_size)[:, 0]
+    with pytest.raises(ValueError, match="enable_past_actions"):
+        init_decode_carry(model, params, cad, seq_len=4)

@@ -6,11 +6,14 @@ self-contained artifact a serving host can run without the framework's
 model code:
 
   <name>.vcdx  (a zip)
-    config.json     model config (the reference model_configs schema)
-    meta.json       shapes, dtypes, jax version, artifact format version
-    params.npz      parameters, flattened by '/'-joined tree path
-    forward.shlo    serialized teacher-forced forward (jax.export)
-    rollout.shlo    serialized 186-step autoregressive rollout (optional)
+    config.json       model config (the reference model_configs schema)
+    meta.json         shapes, dtypes, jax version, artifact format version
+    params.npz        parameters, flattened by '/'-joined tree path
+    forward.shlo      serialized teacher-forced forward (jax.export)
+    rollout.shlo      serialized 186-step autoregressive rollout (optional)
+    decode_init.shlo  serialized serving-session init: CAD image -> carry
+    decode_step.shlo  serialized one-frame incremental decode step
+                      (optional; models with action feedback only)
 
 Exported functions are SHAPE-SPECIALIZED (batch size and padded sequence
 bucket are baked in — the same static-shape discipline the training stack
@@ -35,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _flatten_params(params: Dict) -> Dict[str, np.ndarray]:
@@ -107,6 +110,26 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         roll_exp = jax_export.export(jax.jit(rollout))(
             params_spec, roll_frames, cad_spec)
 
+    # Incremental serving pair (frame-at-a-time decode; models with action
+    # feedback only — the others are a single forward).
+    init_exp = step_exp = None
+    if cfg.enable_past_actions:
+        from videocad_tpu.infer.incremental import (
+            incremental_decode_step, init_decode_carry)
+
+        def decode_init(p, cad_image):
+            return init_decode_carry(model, p, cad_image, bucket_len)
+
+        def decode_step(p, frame, carry):
+            return incremental_decode_step(model, p, frame, carry)
+
+        frame_spec = jax.ShapeDtypeStruct((batch_size,) + img, jnp.uint8)
+        carry_spec = jax.eval_shape(decode_init, params_spec, cad_spec)
+        init_exp = jax_export.export(jax.jit(decode_init))(
+            params_spec, cad_spec)
+        step_exp = jax_export.export(jax.jit(decode_step))(
+            params_spec, frame_spec, carry_spec)
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -115,6 +138,7 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         "image_size": cfg.image_size,
         "export_platforms": list(fwd_exp.platforms),
         "has_rollout": with_rollout,
+        "has_decode": step_exp is not None,
     }
     flat = _flatten_params(params)
     buf = io.BytesIO()
@@ -127,6 +151,9 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         zf.writestr("forward.shlo", fwd_exp.serialize())
         if roll_exp is not None:
             zf.writestr("rollout.shlo", roll_exp.serialize())
+        if step_exp is not None:
+            zf.writestr("decode_init.shlo", init_exp.serialize())
+            zf.writestr("decode_step.shlo", step_exp.serialize())
     return meta
 
 
@@ -134,12 +161,15 @@ class ExportedModel:
     """A loaded .vcdx artifact; runs without the framework's model code."""
 
     def __init__(self, config: Dict, meta: Dict, params: Dict,
-                 forward_exp, rollout_exp):
+                 forward_exp, rollout_exp, decode_init_exp=None,
+                 decode_step_exp=None):
         self.config = config
         self.meta = meta
         self.params = params
         self._forward = forward_exp
         self._rollout = rollout_exp
+        self._decode_init = decode_init_exp
+        self._decode_step = decode_step_exp
 
     def forward(self, frames, actions, cad_image) -> Tuple:
         """Teacher-forced forward: (cmd logits, param logits)."""
@@ -151,6 +181,24 @@ class ExportedModel:
             raise ValueError("artifact was exported without a rollout")
         return self._rollout.call(self.params, frames, cad_image)
 
+    def decode_init(self, cad_image):
+        """Start a serving session: CAD image -> decode carry."""
+        if self._decode_init is None:
+            raise ValueError(
+                "artifact has no incremental decode (exported from a model "
+                "without action feedback, or a pre-v2 artifact)")
+        return self._decode_init.call(self.params, cad_image)
+
+    def decode_step(self, frame, carry) -> Tuple:
+        """One serving step: the newly observed frame + carry ->
+        (new_carry, cmd logits, param logits); drive once per UI frame
+        (test-equal to ``rollout`` per step, tests/test_export.py)."""
+        if self._decode_step is None:
+            raise ValueError(
+                "artifact has no incremental decode (exported from a model "
+                "without action feedback, or a pre-v2 artifact)")
+        return self._decode_step.call(self.params, frame, carry)
+
 
 def load_exported(path: str) -> ExportedModel:
     from jax import export as jax_export
@@ -161,7 +209,10 @@ def load_exported(path: str) -> ExportedModel:
         with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
             params = _unflatten_params({k: npz[k] for k in npz.files})
         fwd = jax_export.deserialize(zf.read("forward.shlo"))
-        roll = None
+        roll = init = step = None
         if meta.get("has_rollout") and "rollout.shlo" in zf.namelist():
             roll = jax_export.deserialize(zf.read("rollout.shlo"))
-    return ExportedModel(config, meta, params, fwd, roll)
+        if meta.get("has_decode") and "decode_step.shlo" in zf.namelist():
+            init = jax_export.deserialize(zf.read("decode_init.shlo"))
+            step = jax_export.deserialize(zf.read("decode_step.shlo"))
+    return ExportedModel(config, meta, params, fwd, roll, init, step)

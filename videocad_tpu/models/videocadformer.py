@@ -279,6 +279,61 @@ class VideoCADFormer(nn.Module):
             combined = self.image_projection(combined)
         return jnp.tanh(combined), ui_emb
 
+    def encode_cad_stream(self, cad_image, multiview_images=None,
+                          deterministic=True) -> jnp.ndarray:
+        """The position-independent tail of the memory concat, pre-tile.
+
+        Returns (B, hidden) — or (B, 2*hidden) with multiview — the
+        [cad_emb, mv_emb] features that ``encode_context`` tiles over T.
+        Computed once per serving session by the incremental decoder
+        (infer/incremental.py); matches encode_context's stream order.
+        """
+        cfg = self.config
+        if cfg.use_pretrained_cad_model:
+            cad_image = maybe_preprocess(cad_image, impl=cfg.preprocess_impl,
+                                         mode="normalize_only")
+        else:
+            cad_image = maybe_preprocess(cad_image, impl=cfg.preprocess_impl,
+                                         target_size=(cfg.image_size,) * 2)
+        cad_emb = self.cad_encoder(cad_image, deterministic=deterministic)
+        streams = [self.embed_image(cad_emb)]
+        if multiview_images is not None and cfg.num_views > 0:
+            multiview_images = maybe_preprocess(
+                multiview_images, impl=cfg.preprocess_impl,
+                target_size=(cfg.image_size,) * 2)
+            b, v = multiview_images.shape[:2]
+            flat = multiview_images.reshape(
+                (b * v,) + multiview_images.shape[2:])
+            mv = self.cad_encoder(flat, deterministic=deterministic)
+            mv = mv.reshape(b, v * encoder_embed_dim(self.config))
+            streams.append(self.embed_multiview(mv))
+        return jnp.concatenate(streams, axis=-1)
+
+    def encode_memory_step(self, frame, t, cad_stream,
+                           deterministic=True) -> jnp.ndarray:
+        """One memory position for incremental decode: (B, hidden).
+
+        ``frame``: (B, H, W, C) the newly observed UI frame; ``t``: scalar
+        position; ``cad_stream``: ``encode_cad_stream``'s output. Replays
+        encode_context's per-position math (ui stream first when past
+        actions+states are on, then the constant cad/mv features, one
+        projection, tanh) for a single t.
+        """
+        cfg = self.config
+        streams = []
+        if cfg.enable_past_states and cfg.enable_past_actions:
+            emb = self.encode_frames(frame[:, None], deterministic)[:, 0]
+            if cfg.enable_timestep_embedding:
+                ts = self.timestep_embedding(t)
+            else:
+                ts = jnp.zeros((cfg.hidden_size,), cfg.compute_dtype)
+            streams.append(jnp.tanh(self.embed_state(emb) + ts))
+        streams.append(cad_stream)
+        combined = jnp.concatenate(streams, axis=-1)
+        if cfg.num_inputs > 1:
+            combined = self.image_projection(combined)
+        return jnp.tanh(combined)
+
     def embed_actions(self, actions: jnp.ndarray) -> jnp.ndarray:
         """(B, T, 7) normalized float actions -> (B, T, hidden)."""
         t = actions.shape[1]
