@@ -168,9 +168,10 @@ def bench_e2e(batch_size: int = 8, bucket: int = 192, steps: int = 4,
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
-         iters: int = 10):
-    model = create_model(FLAGSHIP)
+def _measure_train(batch_size: int, seq_len: int, config: dict,
+                   warmup: int = 3, iters: int = 10) -> float:
+    """frames/s/chip for one (batch, bucket, model-config) operating point."""
+    model = create_model(config)
     params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
     state, tx = create_train_state(params, {"lr": 1e-5})
 
@@ -195,13 +196,93 @@ def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
 
     # frames actually encoded per step: B * (T-1) after the teacher shift
     frames_per_step = batch_size * (seq_len - 1)
-    fps = frames_per_step * iters / elapsed
+    return frames_per_step * iters / elapsed
+
+
+def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
+         iters: int = 10):
+    fps = _measure_train(batch_size, seq_len, FLAGSHIP, warmup, iters)
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_A100_FPS, 3),
     }))
+
+
+def bench_sweep(out_path: str = "docs/perf_sweep.json"):
+    """Map the operating envelope (VERDICT r2 next-round #5).
+
+    frames/s/chip x {bucket 48/96/144/192} x {batch 8/16} x {default
+    fused-MHSA, block-kernel memory mode}, plus rollout actions/s x
+    {batch 8/64}. Each point is appended to ``out_path`` as it lands (the
+    sweep is long; partial results must survive an interrupt), and
+    ``tools/gen_perf_table.py`` renders docs/PERF.md's envelope table from
+    the JSON — generated, not hand-collected. A point that OOMs is
+    recorded as such (the expected B=16 default-mode outcome at 192).
+    """
+    import os
+
+    points = []
+
+    def record(point):
+        points.append(point)
+        print(json.dumps(point), flush=True)
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(points, f, indent=1)
+
+    modes = {
+        "fused": FLAGSHIP,
+        "block": dict(FLAGSHIP, vit_attention_impl="block",
+                      vit_mlp_impl="block"),
+    }
+    for bucket in (48, 96, 144, 192):
+        for batch in (8, 16):
+            for mode_name, cfg in modes.items():
+                point = {"kind": "train", "bucket": bucket, "batch": batch,
+                         "mode": mode_name}
+                try:
+                    fps = _measure_train(batch, bucket, cfg)
+                    point["frames_per_sec"] = round(fps, 1)
+                except Exception as e:  # OOM / compile failure: record it
+                    msg = str(e)
+                    point["error"] = ("OOM" if "RESOURCE_EXHAUSTED" in msg
+                                      or "memory" in msg.lower()
+                                      else msg[:200])
+                record(point)
+    for batch in (8, 64):
+        point = {"kind": "rollout", "batch": batch, "bucket": 187}
+        try:
+            t0 = time.perf_counter()
+            aps = _measure_rollout(batch)
+            point["actions_per_sec"] = round(aps, 1)
+            point["wall_s"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:
+            point["error"] = str(e)[:200]
+        record(point)
+    print(json.dumps({"metric": "sweep_points", "value": len(points),
+                      "unit": "points", "vs_baseline": None}))
+
+
+def _measure_rollout(batch_size: int, seq_len: int = 187, warmup: int = 1,
+                     iters: int = 3) -> float:
+    from videocad_tpu.infer.rollout import sequential_inference
+
+    model = create_model(FLAGSHIP)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    feed = synthetic_batch_feed(batch_size, seq_len, image_size=224,
+                                channels=3, seed=0)
+    frames = jax.device_put(jnp.asarray(feed["frames"]))
+    cad = jax.device_put(jnp.asarray(feed["cad_image"]))
+    for _ in range(warmup):
+        cmds, _ = sequential_inference(model, params, frames, cad)
+    float(cmds[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cmds, _ = sequential_inference(model, params, frames, cad)
+    float(cmds[0, 0, 0])
+    return batch_size * seq_len * iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
@@ -211,5 +292,7 @@ if __name__ == "__main__":
                       else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         bench_e2e()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        bench_sweep(*sys.argv[2:3])
     else:
         main()

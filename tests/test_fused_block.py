@@ -182,3 +182,48 @@ def test_block_dropout_on_tpu():
     g = jax.grad(lambda xx: (attn_block(xx, *p, jnp.int32(7), 4, rate)
                              ** 2).sum())(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel dropout uses the TPU hardware PRNG")
+@pytest.mark.parametrize("op", ["mlp", "attn"])
+def test_block_dropout_fwd_bwd_masks_agree_on_tpu(op):
+    """The forward and backward kernels regenerate the SAME dropout mask
+    (ADVICE r2 medium): central finite differences of the forward — which
+    bake the forward kernel's mask into the loss landscape — must match
+    the custom-vjp analytic gradient, which re-draws the mask in the
+    backward kernel. A fwd/bwd mask divergence zeroes/doubles whole rows
+    of the gradient (O(1) error), far above FD noise. Run at t=50: a
+    non-128-multiple token count, the layout-sensitive sub-128-lane case
+    (attn_block's (t, t) score draws; docs r2 layout lessons).
+    """
+    rng = np.random.default_rng(6)
+    b, t, d = 4, 50, 128
+    x = _r(rng, (b, t, d))
+    rate = 0.35
+    seed = jnp.int32(1234)
+    hi = jax.lax.Precision.HIGHEST
+    # Fixed asymmetric cotangent so every gradient entry is exercised.
+    w_loss = _r(rng, (b, t, d), scale=1.0)
+
+    if op == "mlp":
+        p = _mlp_params(rng, d=d, f=128)
+        f = lambda xx: (mlp_block(xx, *p, seed, rate, 1e-5, None, hi)
+                        * w_loss).sum()
+    else:
+        p = _attn_params(rng, d=d, inner=d)
+        f = lambda xx: (attn_block(xx, *p, seed, 4, rate, 1e-5, None, hi)
+                        * w_loss).sum()
+
+    # Forward is deterministic per seed (precondition for FD).
+    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(f(x)))
+
+    g = np.asarray(jax.grad(f)(x))
+    probes = rng.choice(b * t * d, size=12, replace=False)
+    eps = 3e-3
+    for flat_idx in probes:
+        idx = np.unravel_index(flat_idx, (b, t, d))
+        e = jnp.zeros_like(x).at[idx].set(eps)
+        fd = (float(f(x + e)) - float(f(x - e))) / (2 * eps)
+        assert abs(fd - g[idx]) <= 2e-2 * max(1.0, abs(fd)), (
+            op, idx, fd, g[idx])
