@@ -147,7 +147,10 @@ def _gray_kernel(img_ref, out_ref, *, w0, w1, w2):
     Luma weights are trace-time constants (baked into the kernel), so the
     whole op is a single VPU multiply-add chain over one VMEM slab.
     """
-    x = img_ref[0].astype(jnp.float32)
+    # Mosaic has no unsigned->float lowering; hop through int32 (exact
+    # for the 0..255 byte range). Caught on real TPU r3 — interpret mode
+    # accepts the direct cast, the hardware lowering does not.
+    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)
     gray = x[:, :, 0] * w0 + x[:, :, 1] * w1 + x[:, :, 2] * w2
     out_ref[0] = (gray / 127.5 - 1.0)[:, :, None]
 
@@ -159,7 +162,7 @@ def _gray_resize_kernel(img_ref, rh_ref, rw_ref, out_ref, *, w0, w1, w2):
     precomputed (OH, H) / (OW, W) interpolation matrices — the fused
     decode->resize->grayscale->normalize north star in one VMEM pass.
     """
-    x = img_ref[0].astype(jnp.float32)
+    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # no u8->f32 in Mosaic
     gray = x[:, :, 0] * w0 + x[:, :, 1] * w1 + x[:, :, 2] * w2  # (H, W)
     rows = jax.lax.dot_general(
         rh_ref[:], gray, (((1,), (0,)), ((), ())),
@@ -195,6 +198,14 @@ def grayscale_normalize_pallas(images: jnp.ndarray, bgr_as_rgb: bool = False,
     w = tuple(float(x) for x in _weights(3, bgr_as_rgb))
 
     if target_size is not None and tuple(target_size) != (h, w_dim):
+        if not interpret:
+            # The fused resize variant crashes this environment's remote
+            # Mosaic toolchain (tpu_compile_helper exit 1; r3, plain
+            # variant compiles and is bit-exact). Until the toolchain
+            # accepts it, real-TPU resize preprocessing stays on the XLA
+            # path; the kernel remains exercised in interpret mode
+            # (tests/test_resize_gencad.py).
+            return grayscale_normalize(images, bgr_as_rgb, target_size)
         oh, ow = target_size
         rh = jnp.asarray(_resize_matrix(h, oh))
         rw = jnp.asarray(_resize_matrix(w_dim, ow))
