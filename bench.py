@@ -200,7 +200,10 @@ def _measure_train(batch_size: int, seq_len: int, config: dict,
 
 
 def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
-         iters: int = 10):
+         iters: int = 20):
+    # 20 timed iterations: at ~143 ms/step the 10-iter window was within
+    # run-to-run tunnel jitter (~1%); 20 halves the variance of the
+    # driver-recorded headline.
     fps = _measure_train(batch_size, seq_len, FLAGSHIP, warmup, iters)
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
