@@ -72,6 +72,32 @@ def test_incremental_equals_batch_rollout(overrides):
     assert int(carry["t"]) == t
 
 
+def test_incremental_decode_under_mesh():
+    """The serving step runs with batch-sharded inputs on a (data, model)
+    mesh and still equals the batch rollout — serving scales the same way
+    training does."""
+    from videocad_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    model, params = _build(dict(enable_past_actions=True,
+                                enable_past_states=True, window_size=3))
+    mesh = create_mesh(4, 2)
+    sharding = batch_sharding(mesh)
+    b, t = 8, 4
+    frames = jax.device_put(_frames(b, t, model.config.image_size), sharding)
+    cad = jax.device_put(_frames(b, 1, model.config.image_size, seed=1)[:, 0],
+                         sharding)
+
+    batch_cmds, _ = sequential_inference(model, params, frames, cad)
+    carry = init_decode_carry(model, params, cad, seq_len=t)
+    cmds = []
+    for i in range(t):
+        carry, cmd_logits, _ = incremental_decode_step(
+            model, params, frames[:, i], carry)
+        cmds.append(cmd_logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(cmds, 1)),
+                               np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
+
+
 def test_incremental_rejects_no_action_feedback():
     model, params = _build(dict(enable_past_actions=False,
                                 enable_past_states=True))
