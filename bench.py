@@ -297,5 +297,17 @@ if __name__ == "__main__":
         bench_e2e()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
         bench_sweep(*sys.argv[2:3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "quant":
+        # int8 MXU dense layers (ops/quant.py): v5e runs int8 matmuls at
+        # 2x the bf16 rate. 'int8' = forward only; 'int8_bwd' = all three
+        # matmuls per dense layer.
+        mode = sys.argv[2] if len(sys.argv) > 2 else "int8"
+        fps = _measure_train(8, 192, dict(FLAGSHIP, quant=mode), iters=20)
+        print(json.dumps({
+            "metric": f"train_frames_per_sec_per_chip_quant_{mode}",
+            "value": round(fps, 2),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(fps / BASELINE_A100_FPS, 3),
+        }))
     else:
         main()

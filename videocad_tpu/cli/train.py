@@ -142,10 +142,19 @@ def main(argv=None):
     parser.add_argument("--enable_profiling", action="store_true")
     parser.add_argument("--sequential", action="store_true",
                         help="periodic rollout validation")
+    parser.add_argument("--quant", default=None,
+                        choices=["none", "int8", "int8_bwd"],
+                        help="int8 MXU dense layers (2x matmul rate on "
+                             "v5e): 'int8' quantizes forwards with "
+                             "straight-through gradients; 'int8_bwd' also "
+                             "quantizes the backward matmuls. Overrides "
+                             "the model config's 'quant' key.")
     args = parser.parse_args(argv)
 
     model_configs = load_json(args.model_config)
     model_params = model_configs[args.model_name]
+    if args.quant is not None:
+        model_params["quant"] = args.quant
     view_ids = ["05", "09", "20"][: model_params.get("num_views", 0)]
 
     mesh = create_mesh(args.data_parallel or None, args.model_parallel)

@@ -39,6 +39,9 @@ class ParamDense(nn.Module):
     in_features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # 'none' | 'int8' (q8 forward, straight-through bf16 backward) |
+    # 'int8_bwd' (q8 forward AND backward matmuls) — ops/quant.py.
+    quant: str = "none"
 
     def setup(self):
         self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -49,6 +52,12 @@ class ParamDense(nn.Module):
                                    (self.features,), jnp.float32)
 
     def __call__(self, x):
+        if self.quant != "none":
+            from videocad_tpu.ops.quant import quantized_dense
+            return quantized_dense(
+                x, self.kernel, self.bias if self.use_bias else None,
+                self.dtype,
+                backward="int8" if self.quant == "int8_bwd" else "bf16")
         y = x.astype(self.dtype) @ self.kernel.astype(self.dtype)
         if self.use_bias:
             y = y + self.bias.astype(self.dtype)
@@ -136,6 +145,7 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     dropout_impl: str = "xla"  # 'pallas' = hardware-PRNG fused dropout
+    quant: str = "none"  # int8 MXU projections (ops/quant.py)
     # Record softmax weights into the 'intermediates' collection (used by
     # attention-rollout interpretability; forces the XLA path).
     sow_weights: bool = False
@@ -146,12 +156,14 @@ class MultiHeadAttention(nn.Module):
         self._head_dim = hd
         # ParamDense == nn.Dense (names/shapes/init/dtype flow) but with
         # directly readable weights for the fused-block kernel path.
-        kw = dict(in_features=self.model_dim, dtype=self.dtype)
+        kw = dict(in_features=self.model_dim, dtype=self.dtype,
+                  quant=self.quant)
         self.query = ParamDense(inner, use_bias=self.qkv_bias, **kw)
         self.key = ParamDense(inner, use_bias=self.qkv_bias, **kw)
         self.value = ParamDense(inner, use_bias=self.qkv_bias, **kw)
         self.out = ParamDense(self.model_dim, in_features=inner,
-                              use_bias=True, dtype=self.dtype)
+                              use_bias=True, dtype=self.dtype,
+                              quant=self.quant)
 
     def _split(self, x):
         b, t, _ = x.shape
@@ -241,16 +253,21 @@ class TransformerDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     dropout_impl: str = "xla"
+    quant: str = "none"
 
     def setup(self):
         kw = dict(model_dim=self.model_dim, num_heads=self.num_heads,
                   dropout_rate=self.dropout_rate, dtype=self.dtype,
                   attention_impl=self.attention_impl,
-                  dropout_impl=self.dropout_impl)
+                  dropout_impl=self.dropout_impl, quant=self.quant)
         self.self_attn = MultiHeadAttention(**kw)
         self.cross_attn = MultiHeadAttention(**kw)
-        self.linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
-        self.linear2 = nn.Dense(self.model_dim, dtype=self.dtype)
+        # ParamDense == nn.Dense param flow (kernel/bias names, lecun/zeros
+        # init) + the int8 path; checkpoints are interchangeable.
+        self.linear1 = ParamDense(self.ffn_dim, in_features=self.model_dim,
+                                  dtype=self.dtype, quant=self.quant)
+        self.linear2 = ParamDense(self.model_dim, in_features=self.ffn_dim,
+                                  dtype=self.dtype, quant=self.quant)
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -307,6 +324,7 @@ class TransformerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     dropout_impl: str = "xla"
+    quant: str = "none"
 
     def setup(self):
         self.layers = [
@@ -314,7 +332,7 @@ class TransformerDecoder(nn.Module):
                 model_dim=self.model_dim, num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, dropout_rate=self.dropout_rate,
                 dtype=self.dtype, attention_impl=self.attention_impl,
-                dropout_impl=self.dropout_impl,
+                dropout_impl=self.dropout_impl, quant=self.quant,
                 name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

@@ -87,6 +87,10 @@ class VideoCADFormerConfig:
     vit_mlp_impl: str = "xla"
     ln_impl: str = "xla"             # 'xla' | 'pallas' (ViT LayerNorms)
     dropout_impl: str = "xla"        # 'xla' | 'pallas' (hardware-PRNG fused)
+    # 'none' | 'int8' (q8 MXU forward, straight-through backward) |
+    # 'int8_bwd' (q8 forward + backward) for ViT + decoder dense layers;
+    # heads/embeddings stay full-precision (ops/quant.py)
+    quant: str = "none"
     preprocess_impl: str = "xla"     # 'xla' | 'pallas' (uint8 image inputs)
     frame_chunk: int = 0             # >0: scan frame encoding in chunks
     remat_encoder: bool = False      # rematerialize per-frame encoding
@@ -135,7 +139,7 @@ def _make_encoder(cfg: VideoCADFormerConfig, name: str, remat: bool = False,
                    attention_impl=cfg.vit_attention_impl,
                    mlp_impl=cfg.vit_mlp_impl,
                    dropout_impl=cfg.dropout_impl, ln_impl=cfg.ln_impl,
-                   name=name)
+                   quant=cfg.quant, name=name)
     if cfg.encoder == "resnet":
         cls = nn.remat(ResNet18GN, static_argnums=(2,)) if remat else ResNet18GN
         return cls(dtype=cfg.compute_dtype, name=name)
@@ -194,7 +198,7 @@ class VideoCADFormer(nn.Module):
             num_heads=cfg.nhead, ffn_dim=cfg.dim_feedforward,
             dropout_rate=cfg.dropout, dtype=dtype,
             attention_impl=cfg.attention_impl,
-            dropout_impl=cfg.dropout_impl)
+            dropout_impl=cfg.dropout_impl, quant=cfg.quant)
         self.predict_cmd = nn.Dense(cfg.num_classes, dtype=jnp.float32)
         self.predict_params = nn.Dense(
             cfg.num_params * cfg.num_params_values, dtype=jnp.float32)

@@ -86,6 +86,7 @@ class ViTBlock(nn.Module):
     mlp_impl: str = "xla"  # 'xla' | 'block' (fused mlp_block kernel)
     dropout_impl: str = "xla"
     ln_impl: str = "xla"
+    quant: str = "none"  # int8 MXU dense layers (ops/quant.py)
     sow_attention: bool = False
 
     def setup(self):
@@ -103,12 +104,12 @@ class ViTBlock(nn.Module):
             model_dim=cfg.dim, num_heads=cfg.heads, head_dim=cfg.head_dim,
             dropout_rate=cfg.dropout, qkv_bias=False, dtype=self.dtype,
             attention_impl=self.attention_impl,
-            dropout_impl=self.dropout_impl,
+            dropout_impl=self.dropout_impl, quant=self.quant,
             sow_weights=self.sow_attention)
         self.mlp_in = ParamDense(cfg.mlp_dim, in_features=cfg.dim,
-                                 dtype=self.dtype)
+                                 dtype=self.dtype, quant=self.quant)
         self.mlp_out = ParamDense(cfg.dim, in_features=cfg.mlp_dim,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, quant=self.quant)
 
     def _drop(self, x, deterministic):
         if deterministic or self.config.dropout == 0.0:
@@ -175,6 +176,7 @@ class ViT(nn.Module):
     mlp_impl: str = "xla"
     dropout_impl: str = "xla"
     ln_impl: str = "xla"
+    quant: str = "none"
     sow_attention: bool = False
 
     @nn.compact
@@ -190,7 +192,8 @@ class ViT(nn.Module):
 
         if cfg.patch_norm:
             x = ln(dtype=self.dtype, name="patch_norm_in")(x)
-        x = nn.Dense(cfg.dim, dtype=self.dtype, name="patch_embed")(x)
+        x = ParamDense(cfg.dim, in_features=p * p * c, dtype=self.dtype,
+                       quant=self.quant, name="patch_embed")(x)
         if cfg.patch_norm:
             x = ln(dtype=self.dtype, name="patch_norm_out")(x)
 
@@ -208,6 +211,7 @@ class ViT(nn.Module):
                          mlp_impl=self.mlp_impl,
                          dropout_impl=self.dropout_impl,
                          ln_impl=self.ln_impl,
+                         quant=self.quant,
                          sow_attention=self.sow_attention,
                          name=f"block_{i}")(x, deterministic)
         if cfg.final_norm:
