@@ -22,7 +22,11 @@ from videocad_tpu.etl.dataset_gen import shard_path
 
 
 @pytest.mark.slow
-def test_cli_overfits_single_video(tmp_path):
+@pytest.mark.parametrize("quant", ["none", "int8_bwd"])
+def test_cli_overfits_single_video(tmp_path, quant):
+    # quant='int8_bwd' is the aggressive mode (int8 forward AND backward
+    # matmuls, ops/quant.py): overfitting to ~100% through it proves the
+    # quantized gradients still carry a usable learning signal end-to-end.
     root = str(tmp_path)
     store = os.path.join(root, "store")
     rng = np.random.default_rng(7)
@@ -61,6 +65,7 @@ def test_cli_overfits_single_video(tmp_path):
         "--buckets", "8",
         "--checkpoint_dir", os.path.join(root, "ckpt"),
         "--log_dir", os.path.join(root, "logs"),
+        "--quant", quant,
     ])
 
     exp = [d for d in os.listdir(os.path.join(root, "logs"))

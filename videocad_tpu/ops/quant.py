@@ -1,10 +1,14 @@
 """Int8 quantized matmul (AQT-style) — the MXU's 2x-rate integer path.
 
-TPU v5e runs the MXU at 394.7 int8 TOPS vs 197.4 bf16 TFLOPs; the flagship
-train step spends ~61 ms of 145 ms in XLA matmul fusions already at XLA's
-bf16 ceiling (~62% MXU — docs/PERF.md), so dynamic int8 quantization of the
-dense layers is the remaining structural speedup for the compute-bound
-regime.
+TPU v5e's datasheet rate for int8 MXU matmuls is 2x bf16 — but the
+measured reality on this toolchain (docs/PERF.md "Int8 quantized matmuls")
+is that XLA's int8 ``dot_general`` runs BELOW the bf16 rate at this
+model's K=512/1024 contractions (29.9 vs 54.5 TFLOP/s at the ViT shapes)
+and only reaches parity at 4096-scale. The mode therefore ships as a
+**capability, off by default** (``quant="none"``): checkpoints are
+bit-identical across ``quant`` settings, the int8_bwd overfit CLI test
+proves the quantized gradients learn, and models large enough to amortize
+the int8 pipeline can turn it on.
 
 Scheme (the standard "dynamic symmetric per-channel" recipe, as used by
 AQT / quantized-training literature):
