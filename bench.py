@@ -56,7 +56,7 @@ LOSS_CONFIG = LossConfig(
 
 
 def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
-                  iters: int = 3):
+                  iters: int = 3, weight_quant: str = "none"):
     """186-step autoregressive rollout throughput (actions/sec).
 
     The reference rollout re-runs a full forward per step (O(T^2) with O(T)
@@ -75,16 +75,19 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
     cad = jax.device_put(jnp.asarray(feed["cad_image"]))
 
     for _ in range(warmup):
-        cmds, _ = sequential_inference(model, params, frames, cad)
+        cmds, _ = sequential_inference(model, params, frames, cad,
+                                       weight_quant=weight_quant)
     float(cmds[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        cmds, _ = sequential_inference(model, params, frames, cad)
+        cmds, _ = sequential_inference(model, params, frames, cad,
+                                       weight_quant=weight_quant)
     float(cmds[0, 0, 0])
     elapsed = time.perf_counter() - t0
     actions_per_sec = batch_size * seq_len * iters / elapsed
+    suffix = "" if weight_quant == "none" else f"_w8"
     print(json.dumps({
-        "metric": "rollout_actions_per_sec",
+        "metric": f"rollout_actions_per_sec{suffix}",
         "value": round(actions_per_sec, 2),
         "unit": "actions/s",
         "vs_baseline": None,
@@ -213,20 +216,28 @@ def main(batch_size: int = 8, seq_len: int = 192, warmup: int = 3,
     }))
 
 
-def bench_sweep(out_path: str = "docs/perf_sweep.json"):
+def bench_sweep(out_path: str = "docs/perf_sweep.json",
+                only: str = "all"):
     """Map the operating envelope (VERDICT r2 next-round #5).
 
     frames/s/chip x {bucket 48/96/144/192} x {batch 8/16} x {default
     fused-MHSA, block-kernel memory mode}, plus rollout actions/s x
-    {batch 8/64}. Each point is appended to ``out_path`` as it lands (the
-    sweep is long; partial results must survive an interrupt), and
-    ``tools/gen_perf_table.py`` renders docs/PERF.md's envelope table from
-    the JSON — generated, not hand-collected. A point that OOMs is
-    recorded as such (the expected B=16 default-mode outcome at 192).
+    {batch 8/64} x {bf16, w8 int8-weight} decode. Each point is appended
+    to ``out_path`` as it lands (the sweep is long; partial results must
+    survive an interrupt), and ``tools/gen_perf_table.py`` renders
+    docs/PERF.md's envelope table from the JSON — generated, not
+    hand-collected. A point that OOMs is recorded as such.
+
+    ``only='rollout'`` keeps the existing train points in ``out_path``
+    and re-measures just the rollout rows (`python bench.py sweep
+    docs/perf_sweep.json rollout`).
     """
     import os
 
     points = []
+    if only == "rollout" and os.path.exists(out_path):
+        with open(out_path) as f:
+            points = [p for p in json.load(f) if p.get("kind") != "rollout"]
 
     def record(point):
         points.append(point)
@@ -240,36 +251,39 @@ def bench_sweep(out_path: str = "docs/perf_sweep.json"):
         "block": dict(FLAGSHIP, vit_attention_impl="block",
                       vit_mlp_impl="block"),
     }
-    for bucket in (48, 96, 144, 192):
-        for batch in (8, 16):
-            for mode_name, cfg in modes.items():
-                point = {"kind": "train", "bucket": bucket, "batch": batch,
-                         "mode": mode_name}
-                try:
-                    fps = _measure_train(batch, bucket, cfg)
-                    point["frames_per_sec"] = round(fps, 1)
-                except Exception as e:  # OOM / compile failure: record it
-                    msg = str(e)
-                    point["error"] = ("OOM" if "RESOURCE_EXHAUSTED" in msg
-                                      or "memory" in msg.lower()
-                                      else msg[:200])
-                record(point)
+    if only != "rollout":
+        for bucket in (48, 96, 144, 192):
+            for batch in (8, 16):
+                for mode_name, cfg in modes.items():
+                    point = {"kind": "train", "bucket": bucket,
+                             "batch": batch, "mode": mode_name}
+                    try:
+                        fps = _measure_train(batch, bucket, cfg)
+                        point["frames_per_sec"] = round(fps, 1)
+                    except Exception as e:  # OOM / compile failure: record
+                        msg = str(e)
+                        point["error"] = ("OOM" if "RESOURCE_EXHAUSTED" in msg
+                                          or "memory" in msg.lower()
+                                          else msg[:200])
+                    record(point)
     for batch in (8, 64):
-        point = {"kind": "rollout", "batch": batch, "bucket": 187}
-        try:
-            t0 = time.perf_counter()
-            aps = _measure_rollout(batch)
-            point["actions_per_sec"] = round(aps, 1)
-            point["wall_s"] = round(time.perf_counter() - t0, 1)
-        except Exception as e:
-            point["error"] = str(e)[:200]
-        record(point)
+        for wq in ("none", "int8"):
+            point = {"kind": "rollout", "batch": batch, "bucket": 187,
+                     "weights": "bf16" if wq == "none" else "w8"}
+            try:
+                t0 = time.perf_counter()
+                aps = _measure_rollout(batch, weight_quant=wq)
+                point["actions_per_sec"] = round(aps, 1)
+                point["wall_s"] = round(time.perf_counter() - t0, 1)
+            except Exception as e:
+                point["error"] = str(e)[:200]
+            record(point)
     print(json.dumps({"metric": "sweep_points", "value": len(points),
                       "unit": "points", "vs_baseline": None}))
 
 
 def _measure_rollout(batch_size: int, seq_len: int = 187, warmup: int = 1,
-                     iters: int = 3) -> float:
+                     iters: int = 3, weight_quant: str = "none") -> float:
     from videocad_tpu.infer.rollout import sequential_inference
 
     model = create_model(FLAGSHIP)
@@ -279,11 +293,13 @@ def _measure_rollout(batch_size: int, seq_len: int = 187, warmup: int = 1,
     frames = jax.device_put(jnp.asarray(feed["frames"]))
     cad = jax.device_put(jnp.asarray(feed["cad_image"]))
     for _ in range(warmup):
-        cmds, _ = sequential_inference(model, params, frames, cad)
+        cmds, _ = sequential_inference(model, params, frames, cad,
+                                       weight_quant=weight_quant)
     float(cmds[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        cmds, _ = sequential_inference(model, params, frames, cad)
+        cmds, _ = sequential_inference(model, params, frames, cad,
+                                       weight_quant=weight_quant)
     float(cmds[0, 0, 0])
     return batch_size * seq_len * iters / (time.perf_counter() - t0)
 
@@ -292,11 +308,13 @@ if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "rollout":
         bench_rollout(batch_size=int(sys.argv[2]) if len(sys.argv) > 2
-                      else 8)
+                      else 8,
+                      weight_quant=sys.argv[3] if len(sys.argv) > 3
+                      else "none")
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         bench_e2e()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
-        bench_sweep(*sys.argv[2:3])
+        bench_sweep(*sys.argv[2:4])
     elif len(sys.argv) > 1 and sys.argv[1] == "quant":
         # int8 MXU dense layers (ops/quant.py): v5e runs int8 matmuls at
         # 2x the bf16 rate. 'int8' = forward only; 'int8_bwd' = all three

@@ -96,6 +96,42 @@ def test_exported_decode_step_equals_rollout(tmp_path):
         np.asarray(jnp.argmax(roll_cmds, -1)))
 
 
+def test_export_weight_quant_roundtrip(tmp_path):
+    """A weight_quant='int8' artifact: the rollout program bakes w8a16 in,
+    decode ships quantize.shlo (run once per session), and driving the
+    exported incremental pair equals both the exported quantized rollout
+    and the live weight_quant rollout."""
+    config = dict(TINY_CONFIG)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny_w8.vcdx")
+    meta = export_model(config, params, 1, 6, out, weight_quant="int8")
+    assert meta["weight_quant"] == "int8"
+    with zipfile.ZipFile(out) as zf:
+        assert "quantize.shlo" in zf.namelist()
+    loaded = load_exported(out)
+
+    data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=3)
+    frames = jnp.asarray(data["frames"])
+    cad = jnp.asarray(data["cad_image"])
+
+    live_roll = sequential_inference(model, params, frames, cad,
+                                     weight_quant="int8")
+    exp_roll = loaded.rollout(frames, cad)
+    for a, b in zip(exp_roll, live_roll):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    carry = loaded.decode_init(cad)
+    step_cmds = []
+    for i in range(frames.shape[1]):
+        carry, cmd_logits, _ = loaded.decode_step(frames[:, i], carry)
+        step_cmds.append(np.asarray(cmd_logits))
+    np.testing.assert_allclose(np.stack(step_cmds, 1),
+                               np.asarray(exp_roll[0]), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_export_cli(tmp_path):
     config_path = os.path.join(str(tmp_path), "configs.json")
     with open(config_path, "w") as f:

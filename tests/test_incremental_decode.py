@@ -72,6 +72,41 @@ def test_incremental_equals_batch_rollout(overrides):
     assert int(carry["t"]) == t
 
 
+def test_incremental_quantized_equals_quantized_rollout():
+    """w8a16 serving: driving the incremental step with a decoder
+    pre-quantized once per session (rollout.quantize_for_decode) equals
+    the batch rollout's weight_quant='int8' mode step for step — both
+    paths round the weights with identical math, so the whole quantized
+    trajectory (including fed-back actions) must agree."""
+    from videocad_tpu.infer.rollout import quantize_for_decode
+
+    model, params = _build(dict(enable_past_actions=True,
+                                enable_past_states=True,
+                                enable_timestep_embedding=True,
+                                window_size=3))
+    cfg = model.config
+    b, t = 2, 6
+    frames = _frames(b, t, cfg.image_size)
+    cad = _frames(b, 1, cfg.image_size, seed=1)[:, 0]
+
+    batch_cmds, batch_params = sequential_inference(
+        model, params, frames, cad, weight_quant="int8")
+
+    qparams = quantize_for_decode(params, cfg.compute_dtype)
+    carry = init_decode_carry(model, qparams, cad, seq_len=t)
+    step_cmds, step_params = [], []
+    for i in range(t):
+        carry, cmd_logits, param_logits = incremental_decode_step(
+            model, qparams, frames[:, i], carry)
+        step_cmds.append(cmd_logits)
+        step_params.append(param_logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(step_cmds, 1)),
+                               np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.stack(step_params, 1)),
+                               np.asarray(batch_params), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_incremental_decode_under_mesh():
     """The serving step runs with batch-sharded inputs on a (data, model)
     mesh and still equals the batch rollout — serving scales the same way

@@ -14,13 +14,17 @@ POINTS = [
      "error": "OOM"},
     {"kind": "rollout", "batch": 8, "bucket": 187,
      "actions_per_sec": 13144.0},
+    {"kind": "rollout", "batch": 8, "bucket": 187, "weights": "w8",
+     "actions_per_sec": 15984.0},
 ]
 
 
 def test_render_table_cells():
     table = render(POINTS)
     assert "| 48 | 9,000 | 8,800 | OOM | — |" in table
-    assert "| 8 | 13,144 |" in table
+    # weights column defaults to bf16 for pre-w8 sweep files
+    assert "| 8 | bf16 | 13,144 |" in table
+    assert "| 8 | w8 | 15,984 |" in table
 
 
 def test_main_inserts_and_replaces_marked_block(tmp_path):

@@ -77,3 +77,43 @@ def test_rollout_states_only_mode_single_pass():
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(fast[1]),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_weight_quant_decode_tracks_exact_rollout():
+    """w8a16 serving mode (quantize_decode_weights): int8 decoder weights
+    perturb logits only at the per-column rounding level.
+
+    Measured without action feedback: with feedback a single flipped
+    argmax rewrites the fed-back action and the trajectories legitimately
+    diverge after that step — on a random tiny model every logit is a
+    near-tie, so only the direct (non-compounding) noise is a meaningful
+    contract.
+    """
+    model, params, frames, cad = _setup()
+    exact_cmds, _ = sequential_inference(model, params, frames, cad,
+                                         action=False)
+    q_cmds, _ = sequential_inference(model, params, frames, cad,
+                                     action=False, weight_quant="int8")
+    scale = float(jnp.std(exact_cmds))
+    err = float(jnp.max(jnp.abs(exact_cmds - q_cmds)))
+    assert err < 0.1 * max(scale, 1.0), (err, scale)
+    agree = float(jnp.mean((jnp.argmax(exact_cmds, -1)
+                            == jnp.argmax(q_cmds, -1)).astype(jnp.float32)))
+    assert agree > 0.9, agree
+
+
+def test_quantize_decode_weights_roundtrip():
+    from videocad_tpu.infer.rollout import quantize_decode_weights
+    model, params, _, _ = _setup()
+    qtree = quantize_decode_weights(params["decoder"], jnp.float32)
+    layer = qtree["layers_0"]["self_attn"]["query"]
+    assert layer["kernel_q"].dtype == jnp.int8
+    orig = params["decoder"]["layers_0"]["self_attn"]["query"]["kernel"]
+    deq = layer["kernel_q"].astype(jnp.float32) * layer["scale"]
+    # per-column symmetric int8: elementwise error <= scale/2 per column
+    col_scale = np.asarray(layer["scale"])[0]
+    err = np.abs(np.asarray(deq) - np.asarray(orig))
+    assert (err <= col_scale[None, :] * 0.5 + 1e-7).all()
+    # LayerNorm affines stay unquantized
+    assert "scale" in qtree["layers_0"]["norm1"]
+    assert qtree["layers_0"]["norm1"]["scale"].dtype == jnp.float32

@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--bucket", type=int, default=192)
     ap.add_argument("--no_rollout", action="store_true")
+    ap.add_argument("--weight_quant", default="none",
+                    choices=["none", "int8"],
+                    help="'int8' bakes w8a16 decode into the artifact: the "
+                         "rollout quantizes in-program, and decode_step "
+                         "streams int8 decoder weights quantized once per "
+                         "session via the shipped quantize.shlo (+21%% "
+                         "rollout actions/s on v5e, docs/PERF.md)")
     ap.add_argument("--out", required=True, help=".vcdx output path")
     args = ap.parse_args(argv)
 
@@ -72,7 +79,8 @@ def main(argv=None):
                             seq_len=2)
 
     meta = export_model(config, params, args.batch, args.bucket, args.out,
-                        with_rollout=not args.no_rollout)
+                        with_rollout=not args.no_rollout,
+                        weight_quant=args.weight_quant)
     print(json.dumps({"out": args.out, **meta}))
 
 

@@ -42,13 +42,15 @@ def render(points) -> str:
         row = " | ".join(cell(bucket, b, m) for b, m in combos)
         lines.append(f"| {bucket} | {row} |")
     if rolls:
-        lines += ["", "Rollout (KV-cached scan decode, 186-step horizon):",
-                  ""]
-        lines += ["| batch | actions/s |", "|---|---|"]
+        lines += ["", "Rollout (KV-cached scan decode, 186-step horizon; "
+                  "w8 = int8 decoder weight streaming, "
+                  "`weight_quant='int8'`):", ""]
+        lines += ["| batch | weights | actions/s |", "|---|---|---|"]
         for p in rolls:
             value = (f"{p['actions_per_sec']:,.0f}"
                      if "actions_per_sec" in p else p.get("error", "—"))
-            lines.append(f"| {p['batch']} | {value} |")
+            lines.append(
+                f"| {p['batch']} | {p.get('weights', 'bf16')} | {value} |")
     return "\n".join(lines)
 
 

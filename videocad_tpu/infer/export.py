@@ -64,7 +64,8 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
 
 def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
                  bucket_len: int, out_path: str,
-                 with_rollout: bool = True) -> Dict[str, Any]:
+                 with_rollout: bool = True,
+                 weight_quant: str = "none") -> Dict[str, Any]:
     """Serialize the model into a .vcdx artifact; returns the meta dict.
 
     config: a model_configs-style dict; params: the flax param pytree;
@@ -72,11 +73,20 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
     forward consumes the teacher-shifted T = bucket_len - 1 frames, the
     rollout consumes bucket_len frames — matching train/steps.py and
     infer/rollout.py).
+
+    weight_quant='int8' bakes the w8a16 decode mode into the artifact:
+    the rollout program quantizes the decoder once per call (amortized
+    over the scan), and the incremental pair ships with an extra
+    ``quantize.shlo`` program the loader runs ONCE per serving session so
+    every ``decode_step`` streams int8 decoder weights (measured +21%
+    rollout actions/s on v5e — docs/PERF.md). ``params.npz`` stays full
+    precision (it is the checkpoint of record).
     """
     from jax import export as jax_export
 
     from videocad_tpu.actions.vocab import ACT_DIM
-    from videocad_tpu.infer.rollout import sequential_inference
+    from videocad_tpu.infer.rollout import (quantize_for_decode,
+                                            sequential_inference)
     from videocad_tpu.models import create_model
 
     model = create_model(config)
@@ -105,17 +115,26 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
                                            jnp.uint8)
 
         def rollout(p, frames, cad_image):
-            return sequential_inference(model, p, frames, cad_image)
+            return sequential_inference(model, p, frames, cad_image,
+                                        weight_quant=weight_quant)
 
         roll_exp = jax_export.export(jax.jit(rollout))(
             params_spec, roll_frames, cad_spec)
 
     # Incremental serving pair (frame-at-a-time decode; models with action
     # feedback only — the others are a single forward).
-    init_exp = step_exp = None
+    init_exp = step_exp = quant_exp = None
     if cfg.enable_past_actions:
         from videocad_tpu.infer.incremental import (
             incremental_decode_step, init_decode_carry)
+
+        session_spec = params_spec
+        if weight_quant == "int8":
+            def quantize(p):
+                return quantize_for_decode(p, cfg.compute_dtype)
+
+            quant_exp = jax_export.export(jax.jit(quantize))(params_spec)
+            session_spec = jax.eval_shape(quantize, params_spec)
 
         def decode_init(p, cad_image):
             return init_decode_carry(model, p, cad_image, bucket_len)
@@ -124,11 +143,11 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
             return incremental_decode_step(model, p, frame, carry)
 
         frame_spec = jax.ShapeDtypeStruct((batch_size,) + img, jnp.uint8)
-        carry_spec = jax.eval_shape(decode_init, params_spec, cad_spec)
+        carry_spec = jax.eval_shape(decode_init, session_spec, cad_spec)
         init_exp = jax_export.export(jax.jit(decode_init))(
-            params_spec, cad_spec)
+            session_spec, cad_spec)
         step_exp = jax_export.export(jax.jit(decode_step))(
-            params_spec, frame_spec, carry_spec)
+            session_spec, frame_spec, carry_spec)
 
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -139,6 +158,7 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         "export_platforms": list(fwd_exp.platforms),
         "has_rollout": with_rollout,
         "has_decode": step_exp is not None,
+        "weight_quant": weight_quant,
     }
     flat = _flatten_params(params)
     buf = io.BytesIO()
@@ -154,6 +174,8 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         if step_exp is not None:
             zf.writestr("decode_init.shlo", init_exp.serialize())
             zf.writestr("decode_step.shlo", step_exp.serialize())
+        if quant_exp is not None:
+            zf.writestr("quantize.shlo", quant_exp.serialize())
     return meta
 
 
@@ -162,7 +184,7 @@ class ExportedModel:
 
     def __init__(self, config: Dict, meta: Dict, params: Dict,
                  forward_exp, rollout_exp, decode_init_exp=None,
-                 decode_step_exp=None):
+                 decode_step_exp=None, quantize_exp=None):
         self.config = config
         self.meta = meta
         self.params = params
@@ -170,6 +192,21 @@ class ExportedModel:
         self._rollout = rollout_exp
         self._decode_init = decode_init_exp
         self._decode_step = decode_step_exp
+        self._quantize = quantize_exp
+        self._session_params = None
+
+    def _decode_params(self):
+        """Weights the incremental pair streams: for a weight_quant
+        artifact, the int8-quantized tree produced by the shipped
+        ``quantize.shlo`` program, computed once and cached for the life
+        of this loaded model (per-session quantization — quantizing per
+        step would erase the HBM win)."""
+        if self._session_params is None:
+            if self._quantize is not None:
+                self._session_params = self._quantize.call(self.params)
+            else:
+                self._session_params = self.params
+        return self._session_params
 
     def forward(self, frames, actions, cad_image) -> Tuple:
         """Teacher-forced forward: (cmd logits, param logits)."""
@@ -187,7 +224,7 @@ class ExportedModel:
             raise ValueError(
                 "artifact has no incremental decode (exported from a model "
                 "without action feedback, or a pre-v2 artifact)")
-        return self._decode_init.call(self.params, cad_image)
+        return self._decode_init.call(self._decode_params(), cad_image)
 
     def decode_step(self, frame, carry) -> Tuple:
         """One serving step: the newly observed frame + carry ->
@@ -197,7 +234,7 @@ class ExportedModel:
             raise ValueError(
                 "artifact has no incremental decode (exported from a model "
                 "without action feedback, or a pre-v2 artifact)")
-        return self._decode_step.call(self.params, frame, carry)
+        return self._decode_step.call(self._decode_params(), frame, carry)
 
 
 def load_exported(path: str) -> ExportedModel:
@@ -209,10 +246,12 @@ def load_exported(path: str) -> ExportedModel:
         with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
             params = _unflatten_params({k: npz[k] for k in npz.files})
         fwd = jax_export.deserialize(zf.read("forward.shlo"))
-        roll = init = step = None
+        roll = init = step = quant = None
         if meta.get("has_rollout") and "rollout.shlo" in zf.namelist():
             roll = jax_export.deserialize(zf.read("rollout.shlo"))
         if meta.get("has_decode") and "decode_step.shlo" in zf.namelist():
             init = jax_export.deserialize(zf.read("decode_init.shlo"))
             step = jax_export.deserialize(zf.read("decode_step.shlo"))
-    return ExportedModel(config, meta, params, fwd, roll, init, step)
+        if "quantize.shlo" in zf.namelist():
+            quant = jax_export.deserialize(zf.read("quantize.shlo"))
+    return ExportedModel(config, meta, params, fwd, roll, init, step, quant)

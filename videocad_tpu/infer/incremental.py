@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from videocad_tpu.actions.ops import apply_action_mask, normalize_actions
 from videocad_tpu.actions.vocab import ACT_DIM
-from videocad_tpu.infer.rollout import _dense, decode_step
+from videocad_tpu.infer.rollout import _dense, cast_decode_tree, decode_step
 from videocad_tpu.models.videocadformer import VideoCADFormer
 
 
@@ -99,7 +99,10 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
     mem_t = mem_t.astype(dtype)
     cast = functools.partial(jax.tree_util.tree_map,
                              lambda a: a.astype(dtype))
-    scan_params = {"decoder": cast(params["decoder"])}
+    # int8-preserving cast: a decoder pre-quantized once per session with
+    # rollout.quantize_for_decode streams w8a16 here too (the serving
+    # counterpart of sequential_inference(weight_quant='int8')).
+    scan_params = {"decoder": cast_decode_tree(params["decoder"], dtype)}
     mem_kv = []
     for i in range(cfg.num_decoder_layers):
         # K/V projected with the raw (f32) weights, then cast — exactly

@@ -43,7 +43,60 @@ from videocad_tpu.models.videocadformer import VideoCADFormer
 
 
 def _dense(p, x):
+    if "kernel_q" in p:
+        # Weight-only int8 (w8a16): the int8 kernel streams from HBM at
+        # half the bf16 bytes; the cast fuses into the matmul read and the
+        # per-output-column scale commutes past the contraction, so the
+        # MXU still runs bf16 (the int8 *dot* path measured slower —
+        # docs/PERF.md). Decode is weight-streaming-bound, so halving the
+        # dominant stream is the win.
+        return (x @ p["kernel_q"].astype(x.dtype)) * p["scale"] + p["bias"]
     return x @ p["kernel"] + p["bias"]
+
+
+_DENSE_KEYS = ("query", "key", "value", "out", "linear1", "linear2")
+
+
+def quantize_decode_weights(decoder_params: Dict, dtype) -> Dict:
+    """Per-column symmetric int8 quantization of the decoder's dense
+    kernels for the scan decode loop (w8a16); everything else (LayerNorm
+    affines, biases) is cast to the compute dtype as before.
+    """
+    def walk(p, name=None):
+        if isinstance(p, dict):
+            if name in _DENSE_KEYS and "kernel" in p:
+                kern = p["kernel"].astype(jnp.float32)
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(kern), axis=0, keepdims=True), 1e-12
+                ) / 127.0
+                q = jnp.clip(jnp.round(kern / scale), -127.0, 127.0)
+                return {"kernel_q": q.astype(jnp.int8),
+                        "scale": scale.astype(dtype),
+                        "bias": p["bias"].astype(dtype)}
+            return {k: walk(v, k) for k, v in p.items()}
+        return p.astype(dtype)
+    return walk(decoder_params)
+
+
+def cast_decode_tree(tree, dtype):
+    """Cast a decode param tree to the compute dtype, passing int8
+    quantized kernels (``kernel_q``) through untouched — so a tree
+    pre-quantized with :func:`quantize_decode_weights` survives the
+    rollout/incremental dtype flow."""
+    return jax.tree_util.tree_map(
+        lambda a: a if a.dtype == jnp.int8 else a.astype(dtype), tree)
+
+
+def quantize_for_decode(params: Dict, dtype) -> Dict:
+    """Full-params convenience for the incremental serving path: returns
+    ``params`` with the decoder subtree int8-quantized (w8a16,
+    :func:`quantize_decode_weights`); encoders, embeddings and heads stay
+    full precision. Quantize ONCE per serving session, then drive
+    ``incremental_decode_step`` with the result — quantizing per step
+    would re-stream the f32 weights and erase the HBM win."""
+    out = dict(params)
+    out["decoder"] = quantize_decode_weights(params["decoder"], dtype)
+    return out
 
 
 def _layernorm(p, x, eps=1e-5):
@@ -138,9 +191,9 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
     return x, new_kv
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
-                 use_actions: bool, seq_len: int,
+                 use_actions: bool, seq_len: int, weight_quant: str = "none",
                  multiview_images=None):
     cfg = model.config
     dtype = cfg.compute_dtype
@@ -172,8 +225,17 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
     dtype = cfg.compute_dtype
     cast = functools.partial(jax.tree_util.tree_map,
                              lambda a: a.astype(dtype))
-    scan_params = {"decoder": cast(params["decoder"])}
-    mem_kv = precompute_memory_kv(params, memory.astype(dtype),
+    if weight_quant == "int8":
+        scan_params = {"decoder": quantize_decode_weights(
+            params["decoder"], dtype)}
+        # Memory K/V projected with the SAME quantized weights the scan
+        # body streams — keeps the batch rollout step-for-step equal to the
+        # incremental serving path driven with quantize_for_decode(params).
+        mem_src = scan_params
+    else:
+        scan_params = {"decoder": cast(params["decoder"])}
+        mem_src = params
+    mem_kv = precompute_memory_kv(mem_src, memory.astype(dtype),
                                   cfg.num_decoder_layers, cfg.nhead)
     mem_kv = [(k.astype(dtype), v.astype(dtype)) for k, v in mem_kv]
 
@@ -226,14 +288,21 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
 def sequential_inference(model: VideoCADFormer, params: Dict,
                          frames: jnp.ndarray, cad_image: jnp.ndarray,
                          action: bool = True,
-                         multiview_images: Optional[jnp.ndarray] = None):
+                         multiview_images: Optional[jnp.ndarray] = None,
+                         weight_quant: str = "none"):
     """Step-by-step rollout; reference API
     (autoregressive_transformer.py:222).
 
     frames: (B, T, H, W, C) ground-truth UI frames; returns
     ((B, T, 5) cmd logits, (B, T, 6, 1000) param logits) — each step's
     last-position logits, exactly the reference's stacked outputs.
+
+    weight_quant='int8' streams the scan-loop decoder weights as int8
+    (w8a16, quantize_decode_weights) — a serving mode that halves the
+    decode loop's dominant HBM stream at the cost of per-column weight
+    rounding in the decoder (memory K/V, embeddings and heads stay
+    full-precision).
     """
     seq_len = frames.shape[1]
     return _rollout_jit(model, params, frames, cad_image, action, seq_len,
-                        multiview_images)
+                        weight_quant, multiview_images)
