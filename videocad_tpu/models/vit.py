@@ -187,7 +187,18 @@ class ViT(nn.Module):
         p = cfg.patch_size
         gh, gw = h // p, w // p
         # (B, gh, p, gw, p, C) -> (B, gh*gw, p*p*C)
-        x = images.astype(self.dtype).reshape(b, gh, p, gw, p, c)
+        x = images.astype(self.dtype)
+        if images.dtype != self.dtype:
+            # Pin the compute-dtype boundary. Without the barrier XLA's
+            # simplifier hoists patch_norm_in's f32 stat promotion back
+            # through the patchify reshapes and runs the whole chain —
+            # three materialized layout copies of the full (B*T, H, W)
+            # frame tensor — at f32 instead of the declared bf16, doubling
+            # ~6 ms/step of pure copy traffic on the flagship (r3 trace:
+            # f32[8,191,224,224] copies behind a bf16 jaxpr). Values are
+            # bit-identical either way; only the copy width changes.
+            x = jax.lax.optimization_barrier(x)
+        x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
 
         if cfg.patch_norm:
