@@ -74,6 +74,39 @@ def test_dp_tp_train_step_matches_single_device(setup):
     assert out_spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
 
 
+def test_hybrid_dcn_mesh_matches_single_device(setup):
+    """Multi-slice layout: a (dcn=2, data=2, model=2) hybrid mesh — batch
+    sharded jointly over (dcn, data), TP over model — produces the same
+    loss/metrics as one device. On real hardware the dcn axis crosses
+    slices (DCN); on the virtual CPU mesh the program semantics are
+    identical, which is what this asserts."""
+    from videocad_tpu.parallel import DCN_AXIS, create_hybrid_mesh
+
+    model, params, batch = setup
+    rng = jax.random.PRNGKey(7)
+
+    state1, tx1 = create_train_state(params, {"lr": 1e-3})
+    step1 = jax.jit(make_train_step(model, tx1, LOSS_CFG))
+    _, loss1, metrics1 = step1(state1, batch, rng)
+
+    mesh = create_hybrid_mesh(2, 2, 2)
+    assert mesh.axis_names == (DCN_AXIS, "data", "model")
+    state2, tx2 = create_sharded_train_state(params, {"lr": 1e-3}, mesh)
+    sharded_batch = shard_batch(mesh, batch)
+    # batch rows spread over all four (dcn, data) shards
+    spec = sharded_batch["frames"].sharding.spec
+    assert spec == jax.sharding.PartitionSpec((DCN_AXIS, "data"))
+    step2 = jax.jit(make_train_step(model, tx2, LOSS_CFG))
+    new_state, loss2, metrics2 = step2(state2, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+    assert float(metrics1["total_predictions"]) == float(
+        metrics2["total_predictions"])
+    out_spec = new_state.params["decoder"]["layers_0"]["self_attn"][
+        "query"]["kernel"].sharding.spec
+    assert out_spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+
+
 def test_pure_dp_mesh_runs(setup):
     model, params, batch = setup
     mesh = create_mesh(8, 1)

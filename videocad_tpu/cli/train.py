@@ -126,6 +126,12 @@ def main(argv=None):
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="0 = all devices / model_parallel")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--dcn_slices", type=int, default=1,
+                        help=">1 lays a hybrid (dcn, data, model) mesh "
+                             "over multiple DCN-connected slices: in-slice "
+                             "collectives ride ICI, the slice-level "
+                             "gradient reduction crosses DCN "
+                             "(parallel/mesh.create_hybrid_mesh)")
     parser.add_argument("--checkpoint_dir", default="checkpoints")
     parser.add_argument("--log_dir", default="logs")
     parser.add_argument("--buckets", type=int, nargs="*", default=None)
@@ -157,7 +163,13 @@ def main(argv=None):
         model_params["quant"] = args.quant
     view_ids = ["05", "09", "20"][: model_params.get("num_views", 0)]
 
-    mesh = create_mesh(args.data_parallel or None, args.model_parallel)
+    if args.dcn_slices > 1:
+        from videocad_tpu.parallel.mesh import create_hybrid_mesh
+        mesh = create_hybrid_mesh(args.dcn_slices,
+                                  args.data_parallel or None,
+                                  args.model_parallel)
+    else:
+        mesh = create_mesh(args.data_parallel or None, args.model_parallel)
     pipes = build_pipelines(args, view_ids, model_params)
 
     # reference training_config defaults (main.py:77-101)

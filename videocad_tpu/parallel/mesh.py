@@ -11,6 +11,12 @@ Axes:
   * ``model`` — optional tensor parallelism over attention heads / FFN /
     output-head columns (SURVEY.md §2.3: not required for parity; kept
     first-class so larger configs scale over ICI)
+  * ``dcn``   — optional leading multi-slice data axis
+    (``create_hybrid_mesh``): slices are laid out contiguously along it,
+    so TP/in-slice-DP collectives ride ICI and only the slice-level
+    gradient reduction crosses DCN (hierarchical all-reduce — the
+    scaling-book multi-slice recipe). The batch shards over
+    ``("dcn", "data")`` jointly.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,
@@ -43,8 +50,41 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def create_hybrid_mesh(dcn: int, data: Optional[int] = None, model: int = 1,
+                       devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (dcn, data, model) mesh for multi-slice training.
+
+    ``dcn`` is the number of slices (DCN-connected granules); ``data`` x
+    ``model`` lays out each slice's chips. On real multi-slice hardware
+    devices are grouped by ``slice_index`` so each row of the leading
+    axis is one slice — in-slice collectives (TP, in-slice DP) ride ICI,
+    and only the ``dcn``-axis gradient reduction crosses the slower DCN
+    links (XLA lowers the joint ("dcn", "data") psum hierarchically).
+    On hosts without slice topology (virtual CPU meshes, single slice)
+    the same shape is laid over the flat device list, preserving program
+    semantics for tests and dry runs.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % (dcn * model) == 0, (n, dcn, model)
+        data = n // (dcn * model)
+    need = dcn * data * model
+    assert need <= n, (dcn, data, model, n)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        assert len(slice_ids) == dcn, (
+            f"{len(slice_ids)} slices visible but dcn={dcn}")
+        devices.sort(key=lambda d: (d.slice_index, d.id))
+    grid = np.asarray(devices[:need]).reshape(dcn, data, model)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors shard their leading dim over the data axis."""
+    """Batch tensors shard their leading dim over the data axis (jointly
+    with the slice axis on a hybrid multi-slice mesh)."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
