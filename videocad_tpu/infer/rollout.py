@@ -99,6 +99,32 @@ def quantize_for_decode(params: Dict, dtype) -> Dict:
     return out
 
 
+def fuse_self_qkv(decoder_tree: Dict) -> Dict:
+    """Concatenate each layer's self-attention query/key/value kernels
+    into one ``qkv`` dense (columnwise — bitwise-identical outputs) so the
+    latency-bound decode loop issues one matmul instead of three per
+    layer. Works on plain, compute-dtype, and int8-quantized trees (the
+    per-column scales concatenate the same way). The original q/k/v
+    entries are dropped; ``decode_step`` falls back to them when ``qkv``
+    is absent, so unfused callers (the incremental serving path) stay
+    step-for-step equal."""
+    def fuse(parts, axis):
+        keys = parts[0].keys()
+        return {k: jnp.concatenate([p[k] for p in parts],
+                                   axis if k != "bias" else 0)
+                for k in keys}
+
+    out = dict(decoder_tree)
+    for name, layer in decoder_tree.items():
+        if not name.startswith("layers_"):
+            continue
+        sa = dict(layer["self_attn"])
+        sa["qkv"] = fuse([sa.pop("query"), sa.pop("key"), sa.pop("value")],
+                         axis=1)
+        out[name] = dict(layer, self_attn=sa)
+    return out
+
+
 def _layernorm(p, x, eps=1e-5):
     """f32 statistics, affine in the stream dtype — flax nn.LayerNorm's
     dtype flow (stats are promoted to f32 even under bfloat16 compute)."""
@@ -166,9 +192,18 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
         layer = params["decoder"][f"layers_{i}"]
         sa, ca = layer["self_attn"], layer["cross_attn"]
 
-        q = _heads_split(_dense(sa["query"], x), num_heads)
-        k_t = _heads_split(_dense(sa["key"], x), num_heads)
-        v_t = _heads_split(_dense(sa["value"], x), num_heads)
+        if "qkv" in sa:
+            # One fused matmul for q/k/v (fuse_self_qkv): the decode loop
+            # is dispatch-latency-bound at small batch, and concatenated
+            # columns are bitwise-identical to three separate dots.
+            qkv_out = _dense(sa["qkv"], x)
+            q, k_t, v_t = (
+                _heads_split(part, num_heads)
+                for part in jnp.split(qkv_out, 3, axis=-1))
+        else:
+            q = _heads_split(_dense(sa["query"], x), num_heads)
+            k_t = _heads_split(_dense(sa["key"], x), num_heads)
+            v_t = _heads_split(_dense(sa["value"], x), num_heads)
         k_cache, v_cache = self_kv[i]
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_t[:, None], (0, t, 0, 0))
@@ -237,6 +272,10 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
         mem_src = params
     mem_kv = precompute_memory_kv(mem_src, memory.astype(dtype),
                                   cfg.num_decoder_layers, cfg.nhead)
+    # Fused q/k/v after the memory precompute (which reads the unfused
+    # cross_attn entries); bitwise-identical, one matmul dispatch saved
+    # per layer per step in the latency-bound loop.
+    scan_params = {"decoder": fuse_self_qkv(scan_params["decoder"])}
     mem_kv = [(k.astype(dtype), v.astype(dtype)) for k, v in mem_kv]
 
     b = frames.shape[0]
