@@ -107,6 +107,35 @@ def test_incremental_quantized_equals_quantized_rollout():
                                atol=1e-5)
 
 
+def test_incremental_prepared_fused_equals_rollout():
+    """A session tree prepared with rollout.prepare_for_decode (compute
+    dtype + fused q/k/v) drives the incremental step to the same
+    trajectory as the batch rollout — the fused matmul is columnwise
+    bitwise-identical to the three separate dots."""
+    from videocad_tpu.infer.rollout import prepare_for_decode
+
+    model, params = _build(dict(enable_past_actions=True,
+                                enable_past_states=True,
+                                enable_timestep_embedding=True,
+                                window_size=3))
+    cfg = model.config
+    b, t = 2, 5
+    frames = _frames(b, t, cfg.image_size)
+    cad = _frames(b, 1, cfg.image_size, seed=1)[:, 0]
+    batch_cmds, _ = sequential_inference(model, params, frames, cad)
+
+    fused = prepare_for_decode(params, cfg.compute_dtype)
+    assert "qkv" in fused["decoder"]["layers_0"]["self_attn"]
+    carry = init_decode_carry(model, fused, cad, seq_len=t)
+    cmds = []
+    for i in range(t):
+        carry, cmd_logits, _ = incremental_decode_step(
+            model, fused, frames[:, i], carry)
+        cmds.append(cmd_logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(cmds, 1)),
+                               np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
+
+
 def test_incremental_decode_under_mesh():
     """The serving step runs with batch-sharded inputs on a (data, model)
     mesh and still equals the batch rollout — serving scales the same way

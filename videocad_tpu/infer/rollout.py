@@ -90,12 +90,43 @@ def cast_decode_tree(tree, dtype):
 def quantize_for_decode(params: Dict, dtype) -> Dict:
     """Full-params convenience for the incremental serving path: returns
     ``params`` with the decoder subtree int8-quantized (w8a16,
-    :func:`quantize_decode_weights`); encoders, embeddings and heads stay
-    full precision. Quantize ONCE per serving session, then drive
+    :func:`quantize_decode_weights`) and its self-attention q/k/v fused
+    (:func:`fuse_self_qkv`); encoders, embeddings and heads stay full
+    precision. Quantize ONCE per serving session, then drive
     ``incremental_decode_step`` with the result — quantizing per step
     would re-stream the f32 weights and erase the HBM win."""
     out = dict(params)
-    out["decoder"] = quantize_decode_weights(params["decoder"], dtype)
+    out["decoder"] = fuse_self_qkv(
+        quantize_decode_weights(params["decoder"], dtype))
+    return out
+
+
+def prepare_for_decode(params: Dict, dtype) -> Dict:
+    """Full-precision counterpart of :func:`quantize_for_decode`: cast the
+    decoder to the compute dtype and fuse its self-attention q/k/v (one
+    matmul dispatch instead of three in the latency-bound per-step loop)
+    without quantizing. Run once per serving session — it also moves the
+    per-step f32->compute-dtype weight cast (a full decoder re-stream per
+    incremental call otherwise) to session setup.
+    ``incremental_decode_step`` consumes the result unchanged (the shared
+    ``decode_step`` detects the fused entry).
+
+    The cross-attention key/value kernels keep their ORIGINAL precision:
+    the incremental step projects each new frame's memory K/V with them
+    and the batch rollout does that projection with the raw f32 weights
+    (then casts) — pre-casting those two would break the step-for-step
+    equality contract at bf16 rounding level. They are dead inputs to the
+    per-step decoder body, so the uncast leaves cost nothing there."""
+    out = dict(params)
+    dec = fuse_self_qkv(cast_decode_tree(params["decoder"], dtype))
+    for name, layer in params["decoder"].items():
+        if not name.startswith("layers_"):
+            continue
+        ca = dict(dec[name]["cross_attn"])
+        ca["key"] = layer["cross_attn"]["key"]
+        ca["value"] = layer["cross_attn"]["value"]
+        dec[name] = dict(dec[name], cross_attn=ca)
+    out["decoder"] = dec
     return out
 
 
@@ -116,7 +147,7 @@ def fuse_self_qkv(decoder_tree: Dict) -> Dict:
 
     out = dict(decoder_tree)
     for name, layer in decoder_tree.items():
-        if not name.startswith("layers_"):
+        if not name.startswith("layers_") or "qkv" in layer["self_attn"]:
             continue
         sa = dict(layer["self_attn"])
         sa["qkv"] = fuse([sa.pop("query"), sa.pop("key"), sa.pop("value")],
@@ -293,7 +324,18 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
     ts_emb = ts_emb.astype(dtype)
 
     embed_action_p = cast(params["embed_action"])
-    head_cmd_p, head_params_p = params["predict_cmd"], params["predict_params"]
+    # One fused (hidden, 5 + 6*1000) head matmul per step instead of two
+    # dispatches; columnwise concat => bitwise-identical logits. Heads
+    # stay f32 (the model computes logits in f32 regardless of dtype).
+    heads_p = {
+        "kernel": jnp.concatenate(
+            [params["predict_cmd"]["kernel"],
+             params["predict_params"]["kernel"]], axis=1),
+        "bias": jnp.concatenate(
+            [params["predict_cmd"]["bias"],
+             params["predict_params"]["bias"]], axis=0),
+    }
+    num_classes = cfg.num_classes
 
     def step(carry, t):
         action, self_kv = carry
@@ -302,8 +344,9 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
         hidden, self_kv = decode_step(scan_params, cfg, x, t, self_kv,
                                       mem_kv, cfg.window_size, seq_len)
         hidden = hidden.astype(jnp.float32)
-        cmd_logits = _dense(head_cmd_p, hidden)
-        param_logits = _dense(head_params_p, hidden).reshape(
+        logits = _dense(heads_p, hidden)
+        cmd_logits = logits[:, :num_classes]
+        param_logits = logits[:, num_classes:].reshape(
             b, cfg.num_params, cfg.num_params_values)
 
         cmd_pred = jnp.argmax(cmd_logits, axis=-1)
@@ -317,8 +360,11 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
         return (next_action, self_kv), (cmd_logits, param_logits)
 
     init_action = jnp.zeros((b, ACT_DIM), jnp.float32)
+    # unroll=2: halves the XLA while-loop bookkeeping per decoded action
+    # (the matmuls stay sequential through the action feedback either
+    # way). Identical math, one extra program copy in the loop body.
     (_, _), (cmds, param_logits) = jax.lax.scan(
-        step, (init_action, init_kv), jnp.arange(seq_len))
+        step, (init_action, init_kv), jnp.arange(seq_len), unroll=2)
     # scan stacks on axis 0 (time): (T, B, ...) -> (B, T, ...)
     return (jnp.transpose(cmds, (1, 0, 2)),
             jnp.transpose(param_logits, (1, 0, 2, 3)))
