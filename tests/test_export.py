@@ -108,7 +108,7 @@ def test_export_weight_quant_roundtrip(tmp_path):
     meta = export_model(config, params, 1, 6, out, weight_quant="int8")
     assert meta["weight_quant"] == "int8"
     with zipfile.ZipFile(out) as zf:
-        assert "quantize.shlo" in zf.namelist()
+        assert "prepare.shlo" in zf.namelist()
     loaded = load_exported(out)
 
     data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=3)

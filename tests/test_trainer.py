@@ -138,13 +138,19 @@ def test_pipeline_early_break_does_not_hang(env):
     """Abandoning an epoch mid-iteration must terminate the prefetch
     worker (regression: q.put blocked forever on the full queue)."""
     import threading
+    import time
     _, pipes = env
     pipe = pipes["train"]
     before = threading.active_count()
     for _ in range(5):
         for batch in pipe.epoch(0):
             break  # consume one batch, abandon the generator
-    # workers exit promptly; no unbounded thread accumulation
+    # In-flight assemblies finish and their workers exit; give them a
+    # bounded moment (the instantaneous count is racy on a loaded host —
+    # a genuine q.put hang never converges and still fails here).
+    deadline = time.time() + 10.0
+    while threading.active_count() > before + 1 and time.time() < deadline:
+        time.sleep(0.05)
     assert threading.active_count() <= before + 1
 
 

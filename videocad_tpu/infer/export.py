@@ -14,6 +14,8 @@ model code:
     decode_init.shlo  serialized serving-session init: CAD image -> carry
     decode_step.shlo  serialized one-frame incremental decode step
                       (optional; models with action feedback only)
+    prepare.shlo      once-per-session decode weight prep (compute-dtype
+                      cast + fused q/k/v; int8 for weight_quant='int8')
 
 Exported functions are SHAPE-SPECIALIZED (batch size and padded sequence
 bucket are baked in — the same static-shape discipline the training stack
@@ -85,7 +87,8 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
     from jax import export as jax_export
 
     from videocad_tpu.actions.vocab import ACT_DIM
-    from videocad_tpu.infer.rollout import (quantize_for_decode,
+    from videocad_tpu.infer.rollout import (prepare_for_decode,
+                                            quantize_for_decode,
                                             sequential_inference)
     from videocad_tpu.models import create_model
 
@@ -128,13 +131,20 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         from videocad_tpu.infer.incremental import (
             incremental_decode_step, init_decode_carry)
 
-        session_spec = params_spec
+        # Session prep runs ONCE per serving session on the loader side:
+        # compute-dtype cast + fused q/k/v (and int8 quantization when
+        # requested). Without it every decode_step call would re-cast the
+        # full f32 decoder in-program — a whole-decoder HBM re-stream per
+        # frame on bf16 models.
         if weight_quant == "int8":
-            def quantize(p):
+            def prepare(p):
                 return quantize_for_decode(p, cfg.compute_dtype)
+        else:
+            def prepare(p):
+                return prepare_for_decode(p, cfg.compute_dtype)
 
-            quant_exp = jax_export.export(jax.jit(quantize))(params_spec)
-            session_spec = jax.eval_shape(quantize, params_spec)
+        quant_exp = jax_export.export(jax.jit(prepare))(params_spec)
+        session_spec = jax.eval_shape(prepare, params_spec)
 
         def decode_init(p, cad_image):
             return init_decode_carry(model, p, cad_image, bucket_len)
@@ -175,7 +185,7 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
             zf.writestr("decode_init.shlo", init_exp.serialize())
             zf.writestr("decode_step.shlo", step_exp.serialize())
         if quant_exp is not None:
-            zf.writestr("quantize.shlo", quant_exp.serialize())
+            zf.writestr("prepare.shlo", quant_exp.serialize())
     return meta
 
 
@@ -196,11 +206,12 @@ class ExportedModel:
         self._session_params = None
 
     def _decode_params(self):
-        """Weights the incremental pair streams: for a weight_quant
-        artifact, the int8-quantized tree produced by the shipped
-        ``quantize.shlo`` program, computed once and cached for the life
-        of this loaded model (per-session quantization — quantizing per
-        step would erase the HBM win)."""
+        """Weights the incremental pair streams: the session tree produced
+        by the shipped ``prepare.shlo`` program (compute-dtype cast +
+        fused q/k/v, int8-quantized for weight_quant artifacts), computed
+        once and cached for the life of this loaded model — per-session
+        prep; doing it per step would re-stream the f32 weights every
+        frame."""
         if self._session_params is None:
             if self._quantize is not None:
                 self._session_params = self._quantize.call(self.params)
@@ -252,6 +263,10 @@ def load_exported(path: str) -> ExportedModel:
         if meta.get("has_decode") and "decode_step.shlo" in zf.namelist():
             init = jax_export.deserialize(zf.read("decode_init.shlo"))
             step = jax_export.deserialize(zf.read("decode_step.shlo"))
-        if "quantize.shlo" in zf.namelist():
-            quant = jax_export.deserialize(zf.read("quantize.shlo"))
+        # "quantize.shlo" is the pre-prepare name of the same program
+        # (w8a16-only artifacts from earlier r3 exports).
+        for member in ("prepare.shlo", "quantize.shlo"):
+            if member in zf.namelist():
+                quant = jax_export.deserialize(zf.read(member))
+                break
     return ExportedModel(config, meta, params, fwd, roll, init, step, quant)
