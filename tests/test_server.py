@@ -1,0 +1,229 @@
+"""End-to-end HTTP serving tests: protocol, batching, both engines.
+
+Spins up the real ThreadingHTTPServer (port 0) around each engine and
+drives it with the stdlib ServingClient — the full wire path (base64 .npy
+bodies, status codes, lane lifecycle), not mocked handlers. Correctness
+anchor: every served action must equal the dedicated
+``incremental_decode_step`` trajectory for that session's inputs.
+"""
+
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import TINY_CONFIG
+from videocad_tpu.infer.incremental import (
+    incremental_decode_step,
+    init_decode_carry,
+)
+from videocad_tpu.infer.rollout import prepare_for_decode
+from videocad_tpu.infer.server import (
+    ArtifactEngine,
+    MuxEngine,
+    ServingClient,
+    SessionError,
+    make_server,
+)
+from videocad_tpu.models import create_model, init_model
+
+SEQ_LEN = 4
+SIZE = TINY_CONFIG["image_size"]
+
+
+@pytest.fixture(scope="module")
+def served():
+    """One MuxEngine + live HTTP server shared across this module (the
+    engine's compiles dominate test time)."""
+    model = create_model(dict(TINY_CONFIG))
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    engine = MuxEngine(model, params, lanes=2, seq_len=SEQ_LEN)
+    server = make_server(engine)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    client = ServingClient(f"http://127.0.0.1:{server.server_address[1]}")
+    yield model, params, engine, client
+    server.shutdown()
+    engine.stop()
+    server.server_close()
+
+
+def _imgs(n, seed, size=SIZE):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+
+
+def _expected_actions(model, params, cad, frames):
+    """The dedicated single-session trajectory (the engine preps its tree
+    with prepare_for_decode; equality raw-vs-prepped is tested elsewhere)."""
+    prepped = prepare_for_decode(params, model.config.compute_dtype)
+    carry = init_decode_carry(model, prepped, jnp.asarray(cad)[None],
+                              SEQ_LEN)
+    actions = []
+    for f in frames:
+        carry, _, _ = incremental_decode_step(model, prepped,
+                                              jnp.asarray(f)[None], carry)
+        actions.append(np.asarray(carry["action"][0]))
+    return actions
+
+
+def _drive(client, cad, frames):
+    sid = client.open_session(cad)
+    out = [client.step(sid, f) for f in frames]
+    client.close_session(sid)
+    return out
+
+
+def test_serve_one_session_matches_dedicated_decode(served):
+    model, params, engine, client = served
+    meta = client.meta()
+    assert meta["engine"] == "mux" and meta["lanes"] == 2
+    assert meta["seq_len"] == SEQ_LEN
+    assert meta["config"]["hidden_size"] == TINY_CONFIG["hidden_size"]
+
+    cad, frames = _imgs(1, seed=1)[0], _imgs(SEQ_LEN, seed=2)
+    got = _drive(client, cad, frames)
+    want = _expected_actions(model, params, cad, frames)
+    for t, (g, w) in enumerate(zip(got, want)):
+        assert g["step"] == t
+        np.testing.assert_allclose(g["action"], w, rtol=1e-6, atol=1e-6)
+        ints = np.rint(w * np.asarray([4.0] + [1000.0] * 6)).astype(int)
+        assert g["cmd"] == ints[0] and g["params"] == list(ints[1:])
+
+
+def test_concurrent_sessions_through_the_batcher(served):
+    """Two clients stepping simultaneously (the batcher coalesces their
+    requests into shared device ticks) each see their own dedicated
+    trajectory — continuous batching is invisible to correctness."""
+    model, params, engine, client = served
+    inputs = {s: (_imgs(1, seed=10 + s)[0], _imgs(SEQ_LEN, seed=20 + s))
+              for s in range(2)}
+    results, errors = {}, []
+
+    def run(s):
+        try:
+            results[s] = _drive(client, *inputs[s])
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in inputs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors and set(results) == set(inputs)
+    for s, (cad, frames) in inputs.items():
+        want = _expected_actions(model, params, cad, frames)
+        for g, w in zip(results[s], want):
+            np.testing.assert_allclose(g["action"], w, rtol=1e-6, atol=1e-6)
+
+
+def test_protocol_errors(served):
+    model, params, engine, client = served
+    cad = _imgs(1, seed=3)[0]
+    frame = _imgs(1, seed=4)[0]
+
+    with pytest.raises(SessionError) as e:
+        client.step("nosuchsession", frame)
+    assert e.value.status == 404
+
+    sids = [client.open_session(cad) for _ in range(2)]
+    with pytest.raises(SessionError) as e:   # all lanes busy
+        client.open_session(cad)
+    assert e.value.status == 503
+
+    with pytest.raises(SessionError) as e:   # wrong frame shape
+        client.step(sids[0], np.zeros((8, 8, 3), np.uint8))
+    assert e.value.status == 400
+
+    for _ in range(SEQ_LEN):
+        client.step(sids[0], frame)
+    with pytest.raises(SessionError) as e:   # horizon exhausted
+        client.step(sids[0], frame)
+    assert e.value.status == 409
+
+    for sid in sids:
+        client.close_session(sid)
+    with pytest.raises(SessionError) as e:   # double close
+        client.close_session(sids[0])
+    assert e.value.status == 404
+
+    # lanes were released — a fresh session serves again
+    sid = client.open_session(cad)
+    assert client.step(sid, frame)["step"] == 0
+    client.close_session(sid)
+
+
+def test_serve_cli_builds_both_engines(tmp_path):
+    """cli.serve constructs the right engine for each source flag."""
+    import argparse
+    import json
+
+    from videocad_tpu.cli.serve import build_engine
+    from videocad_tpu.infer.export import export_model
+
+    cfg_path = os.path.join(str(tmp_path), "configs.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"tiny": dict(TINY_CONFIG)}, f)
+    args = argparse.Namespace(
+        artifact=None, model_config=cfg_path, model_name="tiny",
+        checkpoint_folder=None, checkpoint_name="best_model",
+        checkpoint_dir="checkpoints", lanes=2, seq_len=SEQ_LEN,
+        weight_quant="int8")
+    engine = build_engine(args)
+    assert isinstance(engine, MuxEngine)
+    meta = engine.meta()
+    assert meta["weight_quant"] == "int8" and meta["lanes"] == 2
+    engine.stop()
+
+    config = dict(TINY_CONFIG)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny.vcdx")
+    export_model(config, params, 1, SEQ_LEN, out)
+    args.artifact = out
+    assert isinstance(build_engine(args), ArtifactEngine)
+
+
+def test_artifact_engine_serves_vcdx(tmp_path):
+    """The artifact engine serves a .vcdx with no model code: its steps
+    equal the exported decode pair driven directly (which test_export.py
+    pins to the batch rollout)."""
+    from videocad_tpu.infer.export import export_model, load_exported
+
+    config = dict(TINY_CONFIG)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny.vcdx")
+    export_model(config, params, 1, SEQ_LEN, out)
+
+    engine = ArtifactEngine(out)
+    server = make_server(engine)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    client = ServingClient(f"http://127.0.0.1:{server.server_address[1]}")
+    try:
+        assert client.meta()["engine"] == "artifact"
+        cad, frames = _imgs(1, seed=5)[0], _imgs(SEQ_LEN, seed=6)
+        got = _drive(client, cad, frames)
+
+        loaded = load_exported(out)
+        carry = loaded.decode_init(cad[None])
+        for t, f in enumerate(frames):
+            carry, _, _ = loaded.decode_step(f[None], carry)
+            np.testing.assert_allclose(
+                got[t]["action"], np.asarray(carry["action"][0]),
+                rtol=1e-6, atol=1e-6)
+
+        # one session at a time (shared step counter)
+        sid = client.open_session(cad)
+        with pytest.raises(SessionError) as e:
+            client.open_session(cad)
+        assert e.value.status == 503
+        client.close_session(sid)
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -1,0 +1,423 @@
+"""Serving runtime: an HTTP decode server with continuous lane batching.
+
+Completes the deployment story on top of the export/incremental stack:
+
+  artifact (.vcdx, infer/export.py)  ──┐
+                                       ├──>  ServingEngine  ──>  HTTP API
+  live model + checkpoint            ──┘
+
+Two engines, one session API:
+
+  * :class:`MuxEngine` — a live model with the lane-multiplexed decoder
+    (infer/multiplex.py).  Up to ``lanes`` concurrent sessions share one
+    compiled step program; a batcher thread coalesces whatever step
+    requests are queued when the device frees up into ONE device call
+    (continuous batching), so the per-step decoder weight stream — the
+    decode loop's HBM bound — is paid once per tick, not once per client.
+  * :class:`ArtifactEngine` — a self-contained ``.vcdx`` artifact
+    (StableHLO programs; no model code needed on the host).  The exported
+    decode pair is shape-specialized with a single shared step counter, so
+    this engine serves one session at a time per loaded artifact.
+
+HTTP surface (JSON bodies; images are base64-encoded ``.npy`` payloads —
+``tools`` stay stdlib-only, mirroring the QA harness's REST clients):
+
+  GET    /v1/meta                      model/config/capacity info
+  POST   /v1/sessions                  {"cad_image": npy_b64[, "multiview_images": npy_b64]}
+                                       -> {"session_id": ..., "lane": ...}
+  POST   /v1/sessions/<id>/step        {"frame": npy_b64}
+                                       -> {"step": t, "cmd": c,
+                                           "params": [6 masked ints],
+                                           "action": [7 normalized floats]}
+  DELETE /v1/sessions/<id>             release the lane
+
+The reference has no serving surface at all (its rollout re-forwards the
+prefix per step, autoregressive_transformer.py:222-274); this runtime is
+the framework's production counterpart, test-driven end to end in
+tests/test_server.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def np_to_b64(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr))
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def b64_to_np(data: str) -> np.ndarray:
+    return np.load(io.BytesIO(base64.b64decode(data)))
+
+
+class SessionError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _action_report(t: int, action_row: np.ndarray) -> Dict:
+    """The per-step response: denormalized masked action + raw feedback.
+
+    ``action_row`` is the normalized action the engine feeds back (cmd/4,
+    params/1000 — actions/ops.py); the integer view is what the agent
+    executes in the UI.
+    """
+    ints = np.rint(action_row * np.asarray([4.0] + [1000.0] * 6)).astype(int)
+    return {"step": int(t), "cmd": int(ints[0]),
+            "params": [int(v) for v in ints[1:]],
+            "action": [float(v) for v in action_row]}
+
+
+class MuxEngine:
+    """Live-model engine: lane-multiplexed sessions + continuous batching.
+
+    All device work happens on the caller threads under ``_lock`` except
+    steps, which are queued and coalesced by a batcher thread: every tick
+    it drains at most one pending request per lane into a single
+    ``mux_decode_step`` call and distributes the per-lane results.
+    """
+
+    def __init__(self, model, params, lanes: int = 4, seq_len: int = 187,
+                 weight_quant: str = "none"):
+        from videocad_tpu.infer.multiplex import init_mux_carry
+        from videocad_tpu.infer.rollout import (prepare_for_decode,
+                                                quantize_for_decode)
+
+        self.model = model
+        cfg = model.config
+        prep = (quantize_for_decode if weight_quant == "int8"
+                else prepare_for_decode)
+        self.params = prep(params, cfg.compute_dtype)
+        self.lanes = lanes
+        self.seq_len = seq_len
+        self.weight_quant = weight_quant
+        self._carry = init_mux_carry(model, params, lanes, seq_len,
+                                     multiview=cfg.num_views > 0)
+        self._img = (cfg.image_size, cfg.image_size, 3)
+        self._lock = threading.Lock()          # device calls + carry
+        self._smeta: Dict[str, Dict] = {}      # session id -> {lane, t}
+        self._free = list(range(lanes))
+        self._pending: list = []               # (lane, frame, event-box)
+        self._cv = threading.Condition()
+        self._stopping = False
+        self._batcher = threading.Thread(target=self._batch_loop,
+                                         daemon=True)
+        self._batcher.start()
+
+    # -- session API --------------------------------------------------
+    def meta(self) -> Dict:
+        import dataclasses
+
+        return {"engine": "mux", "lanes": self.lanes,
+                "free_lanes": len(self._free), "seq_len": self.seq_len,
+                "image_size": self._img[0],
+                "weight_quant": self.weight_quant,
+                "config": dataclasses.asdict(self.model.config)}
+
+    def open_session(self, cad_image: np.ndarray,
+                     multiview_images: Optional[np.ndarray] = None) -> Tuple[str, int]:
+        import jax.numpy as jnp
+
+        from videocad_tpu.infer.multiplex import open_lane
+
+        with self._lock:
+            if not self._free:
+                raise SessionError(
+                    503, f"all {self.lanes} lanes busy; retry or raise "
+                         "--lanes")
+            lane = self._free.pop()
+            mv = (jnp.asarray(multiview_images)[None]
+                  if multiview_images is not None else None)
+            self._carry = open_lane(self.model, self.params, self._carry,
+                                    jnp.asarray(lane),
+                                    jnp.asarray(cad_image)[None], mv)
+            sid = uuid.uuid4().hex[:12]
+            self._smeta[sid] = {"lane": lane, "t": 0}
+        return sid, lane
+
+    def step(self, session_id: str, frame: np.ndarray) -> Dict:
+        with self._lock:
+            meta = self._smeta.get(session_id)
+            if meta is None:
+                raise SessionError(404, f"unknown session {session_id}")
+            if meta["t"] >= self.seq_len:
+                raise SessionError(
+                    409, f"session exhausted its {self.seq_len}-step "
+                         "horizon; open a new session")
+            if frame.shape != self._img or frame.dtype != np.uint8:
+                raise SessionError(
+                    400, f"frame must be uint8 {self._img}, "
+                         f"got {frame.dtype} {frame.shape}")
+        box = {"event": threading.Event(), "result": None, "error": None}
+        with self._cv:
+            self._pending.append((meta["lane"], frame, box))
+            self._cv.notify()
+        box["event"].wait()
+        if box["error"] is not None:
+            raise box["error"]
+        meta["t"] += 1
+        return box["result"]
+
+    def close_session(self, session_id: str) -> None:
+        from videocad_tpu.infer.multiplex import close_lane
+
+        with self._lock:
+            meta = self._smeta.pop(session_id, None)
+            if meta is None:
+                raise SessionError(404, f"unknown session {session_id}")
+            self._carry = close_lane(self._carry, meta["lane"])
+            self._free.append(meta["lane"])
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stopping = True
+            self._cv.notify()
+        self._batcher.join(timeout=5)
+
+    # -- continuous batcher -------------------------------------------
+    def _batch_loop(self) -> None:
+        import jax.numpy as jnp
+
+        from videocad_tpu.infer.multiplex import mux_decode_step
+
+        while True:
+            with self._cv:
+                while not self._pending and not self._stopping:
+                    self._cv.wait()
+                if self._stopping:
+                    for _, _, box in self._pending:
+                        box["error"] = SessionError(503, "server stopping")
+                        box["event"].set()
+                    return
+                # One request per lane per tick; later duplicates for the
+                # same lane stay queued for the next tick (a session's
+                # steps are inherently serial anyway).
+                batch, rest, taken = [], [], set()
+                for item in self._pending:
+                    if item[0] in taken:
+                        rest.append(item)
+                    else:
+                        taken.add(item[0])
+                        batch.append(item)
+                self._pending = rest
+            try:
+                frames = np.zeros((self.lanes,) + self._img, np.uint8)
+                active = np.zeros((self.lanes,), bool)
+                for lane, frame, _ in batch:
+                    frames[lane] = frame
+                    active[lane] = True
+                with self._lock:
+                    carry, cmd_logits, param_logits = mux_decode_step(
+                        self.model, self.params, jnp.asarray(frames),
+                        jnp.asarray(active), self._carry)
+                    self._carry = carry
+                    actions = np.asarray(carry["action"])
+                    ts = np.asarray(carry["t"])
+                for lane, _, box in batch:
+                    box["result"] = _action_report(ts[lane] - 1,
+                                                   actions[lane])
+                    box["event"].set()
+            except Exception as e:  # deliver, don't kill the batcher
+                for _, _, box in batch:
+                    box["error"] = e
+                    box["event"].set()
+
+
+class ArtifactEngine:
+    """Self-contained ``.vcdx`` engine (no model code on the host).
+
+    The exported decode pair shares one step counter across the artifact's
+    batch lanes, so this engine serves ONE session at a time; the artifact
+    of record for serving is exported at batch 1 (tools/export_model.py).
+    """
+
+    def __init__(self, path: str):
+        from videocad_tpu.infer.export import load_exported
+
+        self.exported = load_exported(path)
+        meta = self.exported.meta
+        if not meta.get("has_decode"):
+            raise ValueError(
+                f"{path} has no incremental decode programs (exported "
+                "from a model without action feedback, or pre-v2)")
+        self.batch = meta["batch_size"]
+        self.seq_len = meta["bucket_len"]
+        self._img = (meta["image_size"], meta["image_size"], 3)
+        self._lock = threading.Lock()
+        self._session = None   # {id, carry, t}
+
+    def meta(self) -> Dict:
+        return {"engine": "artifact", "lanes": 1,
+                "free_lanes": 0 if self._session else 1,
+                "seq_len": self.seq_len, "batch_size": self.batch,
+                "image_size": self._img[0],
+                "weight_quant": self.exported.meta.get("weight_quant"),
+                "config": self.exported.config}
+
+    def open_session(self, cad_image: np.ndarray,
+                     multiview_images=None) -> Tuple[str, int]:
+        if multiview_images is not None:
+            raise SessionError(400, "artifact decode programs take the CAD "
+                                    "image only")
+        cad = np.asarray(cad_image)
+        if cad.shape == self._img:       # single image -> artifact batch
+            cad = np.broadcast_to(cad, (self.batch,) + self._img)
+        if cad.shape != (self.batch,) + self._img:
+            raise SessionError(400, f"cad_image must be {self._img} or "
+                                    f"{(self.batch,) + self._img}")
+        with self._lock:
+            if self._session is not None:
+                raise SessionError(
+                    503, "artifact engine serves one session at a time "
+                         "(batch-lockstep decode); close the active "
+                         "session or serve a MuxEngine")
+            carry = self.exported.decode_init(cad.astype(np.uint8))
+            sid = uuid.uuid4().hex[:12]
+            self._session = {"id": sid, "carry": carry, "t": 0}
+        return sid, 0
+
+    def step(self, session_id: str, frame: np.ndarray) -> Dict:
+        with self._lock:
+            s = self._session
+            if s is None or s["id"] != session_id:
+                raise SessionError(404, f"unknown session {session_id}")
+            if s["t"] >= self.seq_len:
+                raise SessionError(409, "session exhausted its horizon")
+            f = np.asarray(frame)
+            if f.shape == self._img:
+                f = np.broadcast_to(f, (self.batch,) + self._img)
+            if f.shape != (self.batch,) + self._img or f.dtype != np.uint8:
+                raise SessionError(400, f"frame must be uint8 {self._img} "
+                                        f"or {(self.batch,) + self._img}")
+            carry, cmd_logits, param_logits = self.exported.decode_step(
+                f, s["carry"])
+            s["carry"] = carry
+            s["t"] += 1
+            action = np.asarray(carry["action"])[0]
+            return _action_report(s["t"] - 1, action)
+
+    def close_session(self, session_id: str) -> None:
+        with self._lock:
+            if self._session is None or self._session["id"] != session_id:
+                raise SessionError(404, f"unknown session {session_id}")
+            self._session = None
+
+    def stop(self) -> None:
+        pass
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine = None            # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args):   # quiet; the CLI logs lifecycle events
+        pass
+
+    def _json(self, status: int, payload: Dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> Dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if not length:
+            return {}
+        return json.loads(self.rfile.read(length))
+
+    def _route(self, method: str) -> None:
+        parts = [p for p in self.path.split("/") if p]
+        try:
+            if method == "GET" and parts == ["v1", "meta"]:
+                return self._json(200, self.engine.meta())
+            if method == "POST" and parts == ["v1", "sessions"]:
+                body = self._body()
+                mv = body.get("multiview_images")
+                sid, lane = self.engine.open_session(
+                    b64_to_np(body["cad_image"]),
+                    b64_to_np(mv) if mv else None)
+                return self._json(201, {"session_id": sid, "lane": lane})
+            if (method == "POST" and len(parts) == 4
+                    and parts[:2] == ["v1", "sessions"]
+                    and parts[3] == "step"):
+                result = self.engine.step(parts[2],
+                                          b64_to_np(self._body()["frame"]))
+                return self._json(200, result)
+            if (method == "DELETE" and len(parts) == 3
+                    and parts[:2] == ["v1", "sessions"]):
+                self.engine.close_session(parts[2])
+                return self._json(200, {"closed": parts[2]})
+            return self._json(404, {"error": f"no route {method} {self.path}"})
+        except SessionError as e:
+            return self._json(e.status, {"error": str(e)})
+        except (KeyError, ValueError) as e:
+            return self._json(400, {"error": f"bad request: {e}"})
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+def make_server(engine, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind an HTTP server around ``engine`` (port 0 = ephemeral); caller
+    runs ``serve_forever`` (the CLI) or a daemon thread (tests)."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+class ServingClient:
+    """Minimal stdlib client for the serving API (used by tests and as the
+    reference protocol implementation for agent integrations)."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def _request(self, method: str, path: str, payload: Optional[Dict] = None):
+        import urllib.error
+        import urllib.request
+
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(
+            self.base_url + path, data=data, method=method,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            raise SessionError(e.code, json.loads(e.read())["error"])
+
+    def meta(self) -> Dict:
+        return self._request("GET", "/v1/meta")
+
+    def open_session(self, cad_image: np.ndarray,
+                     multiview_images: Optional[np.ndarray] = None) -> str:
+        payload = {"cad_image": np_to_b64(cad_image)}
+        if multiview_images is not None:
+            payload["multiview_images"] = np_to_b64(multiview_images)
+        return self._request("POST", "/v1/sessions", payload)["session_id"]
+
+    def step(self, session_id: str, frame: np.ndarray) -> Dict:
+        return self._request("POST", f"/v1/sessions/{session_id}/step",
+                             {"frame": np_to_b64(frame)})
+
+    def close_session(self, session_id: str) -> Dict:
+        return self._request("DELETE", f"/v1/sessions/{session_id}")
