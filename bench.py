@@ -85,7 +85,7 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
     float(cmds[0, 0, 0])
     elapsed = time.perf_counter() - t0
     actions_per_sec = batch_size * seq_len * iters / elapsed
-    suffix = "" if weight_quant == "none" else "_w8"
+    suffix = {"none": "", "int8": "_w8", "int4": "_w4"}[weight_quant]
     print(json.dumps({
         "metric": f"rollout_actions_per_sec{suffix}",
         "value": round(actions_per_sec, 2),

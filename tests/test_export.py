@@ -96,17 +96,21 @@ def test_exported_decode_step_equals_rollout(tmp_path):
         np.asarray(jnp.argmax(roll_cmds, -1)))
 
 
-def test_export_weight_quant_roundtrip(tmp_path):
-    """A weight_quant='int8' artifact: the rollout program bakes w8a16 in,
-    decode ships quantize.shlo (run once per session), and driving the
-    exported incremental pair equals both the exported quantized rollout
-    and the live weight_quant rollout."""
+import pytest
+
+
+@pytest.mark.parametrize("weight_quant", ["int8", "int4"])
+def test_export_weight_quant_roundtrip(tmp_path, weight_quant):
+    """A weight_quant artifact (w8a16 / w4a16): the rollout program bakes
+    the quantized decode in, decode ships quantize.shlo (run once per
+    session), and driving the exported incremental pair equals both the
+    exported quantized rollout and the live weight_quant rollout."""
     config = dict(TINY_CONFIG)
     model = create_model(config)
     params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
-    out = os.path.join(str(tmp_path), "tiny_w8.vcdx")
-    meta = export_model(config, params, 1, 6, out, weight_quant="int8")
-    assert meta["weight_quant"] == "int8"
+    out = os.path.join(str(tmp_path), f"tiny_{weight_quant}.vcdx")
+    meta = export_model(config, params, 1, 6, out, weight_quant=weight_quant)
+    assert meta["weight_quant"] == weight_quant
     with zipfile.ZipFile(out) as zf:
         assert "prepare.shlo" in zf.namelist()
     loaded = load_exported(out)
@@ -116,7 +120,7 @@ def test_export_weight_quant_roundtrip(tmp_path):
     cad = jnp.asarray(data["cad_image"])
 
     live_roll = sequential_inference(model, params, frames, cad,
-                                     weight_quant="int8")
+                                     weight_quant=weight_quant)
     exp_roll = loaded.rollout(frames, cad)
     for a, b in zip(exp_roll, live_roll):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -72,11 +72,12 @@ def test_incremental_equals_batch_rollout(overrides):
     assert int(carry["t"]) == t
 
 
-def test_incremental_quantized_equals_quantized_rollout():
-    """w8a16 serving: driving the incremental step with a decoder
+@pytest.mark.parametrize("weight_quant,bits", [("int8", 8), ("int4", 4)])
+def test_incremental_quantized_equals_quantized_rollout(weight_quant, bits):
+    """w8a16 / w4a16 serving: driving the incremental step with a decoder
     pre-quantized once per session (rollout.quantize_for_decode) equals
-    the batch rollout's weight_quant='int8' mode step for step — both
-    paths round the weights with identical math, so the whole quantized
+    the batch rollout's weight_quant mode step for step — both paths
+    round the weights with identical math, so the whole quantized
     trajectory (including fed-back actions) must agree."""
     from videocad_tpu.infer.rollout import quantize_for_decode
 
@@ -90,9 +91,9 @@ def test_incremental_quantized_equals_quantized_rollout():
     cad = _frames(b, 1, cfg.image_size, seed=1)[:, 0]
 
     batch_cmds, batch_params = sequential_inference(
-        model, params, frames, cad, weight_quant="int8")
+        model, params, frames, cad, weight_quant=weight_quant)
 
-    qparams = quantize_for_decode(params, cfg.compute_dtype)
+    qparams = quantize_for_decode(params, cfg.compute_dtype, bits=bits)
     carry = init_decode_carry(model, qparams, cad, seq_len=t)
     step_cmds, step_params = [], []
     for i in range(t):

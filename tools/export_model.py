@@ -31,7 +31,7 @@ def main(argv=None):
     ap.add_argument("--bucket", type=int, default=192)
     ap.add_argument("--no_rollout", action="store_true")
     ap.add_argument("--weight_quant", default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int4"],
                     help="'int8' bakes w8a16 decode into the artifact: the "
                          "rollout quantizes in-program, and decode_step "
                          "streams int8 decoder weights quantized once per "

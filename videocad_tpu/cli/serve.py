@@ -73,9 +73,10 @@ def main(argv=None):
                         help="per-session step horizon (the reference's "
                              "186-action episodes + zero-action start)")
     parser.add_argument("--weight_quant", default="none",
-                        choices=["none", "int8"],
+                        choices=["none", "int8", "int4"],
                         help="int8 = w8a16 decoder weight streaming "
-                             "(+21%% decode actions/s on v5e)")
+                             "(+21%% decode actions/s on v5e); int4 = "
+                             "w4a16 (coarser rounding, smaller stream)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8741)
     args = parser.parse_args(argv)

@@ -136,9 +136,11 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         # requested). Without it every decode_step call would re-cast the
         # full f32 decoder in-program — a whole-decoder HBM re-stream per
         # frame on bf16 models.
-        if weight_quant == "int8":
+        if weight_quant in ("int8", "int4"):
             def prepare(p):
-                return quantize_for_decode(p, cfg.compute_dtype)
+                return quantize_for_decode(
+                    p, cfg.compute_dtype,
+                    bits=8 if weight_quant == "int8" else 4)
         else:
             def prepare(p):
                 return prepare_for_decode(p, cfg.compute_dtype)

@@ -57,20 +57,29 @@ def _dense(p, x):
 _DENSE_KEYS = ("query", "key", "value", "out", "linear1", "linear2")
 
 
-def quantize_decode_weights(decoder_params: Dict, dtype) -> Dict:
-    """Per-column symmetric int8 quantization of the decoder's dense
-    kernels for the scan decode loop (w8a16); everything else (LayerNorm
-    affines, biases) is cast to the compute dtype as before.
+def quantize_decode_weights(decoder_params: Dict, dtype,
+                            bits: int = 8) -> Dict:
+    """Per-column symmetric intN quantization of the decoder's dense
+    kernels for the scan decode loop (w8a16 / w4a16); everything else
+    (LayerNorm affines, biases) is cast to the compute dtype as before.
+
+    bits=4 stores ``jnp.int4`` kernels — XLA packs s4 two-per-byte in TPU
+    HBM, so the decode loop's dominant weight stream halves again vs int8
+    at the cost of 4-bit per-column rounding (a serving-quality tradeoff;
+    the int8 mode is the accuracy-conservative default).
     """
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    qtype = {8: jnp.int8, 4: jnp.int4}[bits]
+
     def walk(p, name=None):
         if isinstance(p, dict):
             if name in _DENSE_KEYS and "kernel" in p:
                 kern = p["kernel"].astype(jnp.float32)
                 scale = jnp.maximum(
                     jnp.max(jnp.abs(kern), axis=0, keepdims=True), 1e-12
-                ) / 127.0
-                q = jnp.clip(jnp.round(kern / scale), -127.0, 127.0)
-                return {"kernel_q": q.astype(jnp.int8),
+                ) / qmax
+                q = jnp.clip(jnp.round(kern / scale), -qmax, qmax)
+                return {"kernel_q": q.astype(qtype),
                         "scale": scale.astype(dtype),
                         "bias": p["bias"].astype(dtype)}
             return {k: walk(v, k) for k, v in p.items()}
@@ -79,17 +88,18 @@ def quantize_decode_weights(decoder_params: Dict, dtype) -> Dict:
 
 
 def cast_decode_tree(tree, dtype):
-    """Cast a decode param tree to the compute dtype, passing int8
+    """Cast a decode param tree to the compute dtype, passing int8/int4
     quantized kernels (``kernel_q``) through untouched — so a tree
     pre-quantized with :func:`quantize_decode_weights` survives the
     rollout/incremental dtype flow."""
     return jax.tree_util.tree_map(
-        lambda a: a if a.dtype == jnp.int8 else a.astype(dtype), tree)
+        lambda a: a if a.dtype in (jnp.int8, jnp.int4) else a.astype(dtype),
+        tree)
 
 
-def quantize_for_decode(params: Dict, dtype) -> Dict:
+def quantize_for_decode(params: Dict, dtype, bits: int = 8) -> Dict:
     """Full-params convenience for the incremental serving path: returns
-    ``params`` with the decoder subtree int8-quantized (w8a16,
+    ``params`` with the decoder subtree intN-quantized (w8a16 / w4a16,
     :func:`quantize_decode_weights`) and its self-attention q/k/v fused
     (:func:`fuse_self_qkv`); encoders, embeddings and heads stay full
     precision. Quantize ONCE per serving session, then drive
@@ -97,7 +107,7 @@ def quantize_for_decode(params: Dict, dtype) -> Dict:
     would re-stream the f32 weights and erase the HBM win."""
     out = dict(params)
     out["decoder"] = fuse_self_qkv(
-        quantize_decode_weights(params["decoder"], dtype))
+        quantize_decode_weights(params["decoder"], dtype, bits))
     return out
 
 
@@ -291,9 +301,10 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
     dtype = cfg.compute_dtype
     cast = functools.partial(jax.tree_util.tree_map,
                              lambda a: a.astype(dtype))
-    if weight_quant == "int8":
+    if weight_quant in ("int8", "int4"):
         scan_params = {"decoder": quantize_decode_weights(
-            params["decoder"], dtype)}
+            params["decoder"], dtype,
+            bits=8 if weight_quant == "int8" else 4)}
         # Memory K/V projected with the SAME quantized weights the scan
         # body streams — keeps the batch rollout step-for-step equal to the
         # incremental serving path driven with quantize_for_decode(params).
@@ -389,7 +400,8 @@ def sequential_inference(model: VideoCADFormer, params: Dict,
     (w8a16, quantize_decode_weights) — a serving mode that halves the
     decode loop's dominant HBM stream at the cost of per-column weight
     rounding in the decoder (memory K/V, embeddings and heads stay
-    full-precision).
+    full-precision). 'int4' (w4a16) halves that stream again — XLA packs
+    s4 two-per-byte in TPU HBM — with coarser 4-bit rounding.
     """
     seq_len = frames.shape[1]
     return _rollout_jit(model, params, frames, cad_image, action, seq_len,

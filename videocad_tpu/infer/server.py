@@ -96,9 +96,12 @@ class MuxEngine:
 
         self.model = model
         cfg = model.config
-        prep = (quantize_for_decode if weight_quant == "int8"
-                else prepare_for_decode)
-        self.params = prep(params, cfg.compute_dtype)
+        if weight_quant in ("int8", "int4"):
+            self.params = quantize_for_decode(
+                params, cfg.compute_dtype,
+                bits=8 if weight_quant == "int8" else 4)
+        else:
+            self.params = prepare_for_decode(params, cfg.compute_dtype)
         self.lanes = lanes
         self.seq_len = seq_len
         self.weight_quant = weight_quant
