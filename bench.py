@@ -94,6 +94,70 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
     }))
 
 
+def bench_serve(lanes: int = 8, seq_len: int = 187,
+                weight_quant: str = "none"):
+    """Serving-engine steady state: all lanes active, one multiplexed
+    decode step per tick (infer/multiplex.py — the device program behind
+    cli/serve's continuous batcher).
+
+    Reports two numbers: pipelined throughput (async dispatch, one sync at
+    the end — what a saturated server achieves) and synchronous per-step
+    latency (fetch the action every step — what one client observes when
+    the batcher fetches results per tick). Run via `python bench.py serve
+    [lanes] [int8|int4]`.
+    """
+    from videocad_tpu.infer.multiplex import (init_mux_carry, mux_decode_step,
+                                              open_lane)
+    from videocad_tpu.infer.rollout import (prepare_for_decode,
+                                            quantize_for_decode)
+
+    model = create_model(FLAGSHIP)
+    raw = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    if weight_quant in ("int8", "int4"):
+        params = quantize_for_decode(raw, model.config.compute_dtype,
+                                     bits=8 if weight_quant == "int8" else 4)
+    else:
+        params = prepare_for_decode(raw, model.config.compute_dtype)
+
+    rng = np.random.default_rng(0)
+    img = (model.config.image_size,) * 2 + (3,)
+    carry = init_mux_carry(model, raw, lanes, seq_len)
+    for lane in range(lanes):
+        cad = jnp.asarray(rng.integers(0, 256, (1,) + img, dtype=np.uint8))
+        carry = open_lane(model, params, carry, jnp.asarray(lane), cad)
+    frames = jnp.asarray(rng.integers(0, 256, (lanes,) + img,
+                                      dtype=np.uint8))
+    active = jnp.ones((lanes,), bool)
+
+    carry, c, _ = mux_decode_step(model, params, frames, active, carry)
+    float(c[0, 0])  # compile + sync
+
+    n_sync = 16
+    t0 = time.perf_counter()
+    for _ in range(n_sync):
+        carry, c, _ = mux_decode_step(model, params, frames, active, carry)
+        float(c[0, 0])
+    sync_ms = (time.perf_counter() - t0) * 1000 / n_sync
+
+    n = seq_len - 1 - n_sync
+    t0 = time.perf_counter()
+    for _ in range(n):
+        carry, c, _ = mux_decode_step(model, params, frames, active, carry)
+    float(c[0, 0])
+    elapsed = time.perf_counter() - t0
+
+    suffix = {"none": "", "int8": "_w8", "int4": "_w4"}[weight_quant]
+    print(json.dumps({
+        "metric": f"serve_actions_per_sec{suffix}",
+        "value": round(lanes * n / elapsed, 2),
+        "unit": "actions/s",
+        "vs_baseline": None,
+        "lanes": lanes,
+        "pipelined_step_ms": round(elapsed * 1000 / n, 2),
+        "sync_step_ms": round(sync_ms, 2),
+    }))
+
+
 def bench_e2e(batch_size: int = 8, bucket: int = 192, steps: int = 4,
               epochs: int = 2):
     """End-to-end training throughput: real Trainer + native .vcb loader.
@@ -311,6 +375,10 @@ if __name__ == "__main__":
                       else 8,
                       weight_quant=sys.argv[3] if len(sys.argv) > 3
                       else "none")
+    elif len(sys.argv) > 1 and sys.argv[1] == "serve":
+        bench_serve(lanes=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                    weight_quant=sys.argv[3] if len(sys.argv) > 3
+                    else "none")
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         bench_e2e()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":

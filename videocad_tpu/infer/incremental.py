@@ -75,7 +75,7 @@ def init_decode_carry(model: VideoCADFormer, params: Dict,
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
 def incremental_decode_step(model: VideoCADFormer, params: Dict,
                             frame: jnp.ndarray, carry: Dict
                             ) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
@@ -84,6 +84,11 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
     Returns (new_carry, cmd_logits (B,5), param_logits (B,6,1000));
     ``new_carry["action"]`` is the masked+normalized next action (what the
     batch rollout feeds back), ready to execute in the UI.
+
+    ``carry`` is DONATED: the KV caches are updated in place on device
+    (without donation every step would copy the full self+memory caches —
+    ~100 MB/step at flagship shapes). Callers must drop their reference
+    and use the returned carry, as the loop above does.
     """
     cfg = model.config
     _require_incremental_support(cfg)

@@ -167,13 +167,14 @@ def init_mux_carry(model: VideoCADFormer, params: Dict, lanes: int,
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def open_lane(model: VideoCADFormer, params: Dict, carry: Dict,
               lane: jnp.ndarray, cad_image: jnp.ndarray,
               multiview_images: Optional[jnp.ndarray] = None) -> Dict:
     """Claim ``lane`` for a new session: encode its CAD context (batch-1,
     once per session) and reset the lane's counters, action, and caches.
-    Other lanes' state is untouched — sessions open mid-flight."""
+    Other lanes' state is untouched — sessions open mid-flight.
+    ``carry`` is donated (in-place lane reset); use the returned carry."""
     cfg = model.config
     cad_stream = model.apply(
         {"params": params}, cad_image, multiview_images, True,
@@ -197,7 +198,7 @@ def close_lane(carry: Dict, lane: int) -> Dict:
     return dict(carry, active=carry["active"].at[lane].set(False))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
 def mux_decode_step(model: VideoCADFormer, params: Dict,
                     frames: jnp.ndarray, active: jnp.ndarray, carry: Dict
                     ) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
@@ -205,6 +206,8 @@ def mux_decode_step(model: VideoCADFormer, params: Dict,
     ``frames`` (L,H,W,C u8) and advances one step; inactive lanes are
     bit-frozen.  Returns (new_carry, cmd_logits (L,5), param_logits
     (L,6,1000)) — logits rows of inactive lanes are garbage by contract.
+    ``carry`` is donated (in-place KV-cache updates; ~100 MB/step saved at
+    flagship shapes) — drop the old reference, use the returned carry.
 
     The math per active lane is ``incremental_decode_step`` verbatim (same
     dtype flow, same windowed memory reads), so any interleaving of
