@@ -26,7 +26,7 @@ def _artifact(tmp_path, batch=1, bucket=6):
 
 def test_export_roundtrip_forward_and_rollout(tmp_path):
     config, model, params, out, meta = _artifact(tmp_path)
-    assert meta["format_version"] == 2 and meta["has_rollout"]
+    assert meta["format_version"] == 3 and meta["has_rollout"]
     loaded = load_exported(out)
 
     data = synthetic_batch_feed(1, 6, image_size=32, channels=3, seed=0)

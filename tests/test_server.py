@@ -157,6 +157,54 @@ def test_protocol_errors(served):
     client.close_session(sid)
 
 
+def test_stale_step_cannot_touch_a_reissued_lane(served):
+    """A step queued for a session that closes before its batcher tick
+    must not advance the lane — otherwise a new session claiming that
+    lane starts life at t=1 with a stranger's frame in its KV cache.
+    Drives the batcher's validate+dispatch seam (_run_tick) directly with
+    a stale (sid, lane) pair: the caller gets 410, the lane stays frozen."""
+    model, params, engine, client = served
+    cad, frame = _imgs(1, seed=30)[0], _imgs(1, seed=31)[0]
+
+    old_sid, lane = engine.open_session(cad)
+    engine.close_session(old_sid)
+    new_sid, new_lane = engine.open_session(cad)
+    assert new_lane == lane   # LIFO free list re-issues the lane
+
+    box = {"event": threading.Event(), "result": None, "error": None}
+    engine._run_tick([(old_sid, lane, frame, box)])
+    assert box["event"].is_set()
+    assert isinstance(box["error"], SessionError)
+    assert box["error"].status == 410
+    assert int(engine._carry["t"][lane]) == 0   # lane state untouched
+
+    # the replacement session still sees its own step 0
+    got = engine.step(new_sid, frame)
+    want = _expected_actions(model, params, cad, [frame])
+    assert got["step"] == 0
+    np.testing.assert_allclose(got["action"], want[0], rtol=1e-6, atol=1e-6)
+    engine.close_session(new_sid)
+
+
+def test_failed_open_does_not_leak_a_lane(served):
+    """An open_session with a rejected input (wrong CAD shape / stray
+    multiview payload) gets a 400 and must return the popped lane to the
+    free list."""
+    model, params, engine, client = served
+    free_before = len(engine._free)
+    with pytest.raises(SessionError) as e:
+        engine.open_session(np.zeros((8, 8, 3), np.uint8))
+    assert e.value.status == 400
+    with pytest.raises(SessionError) as e:   # model takes no views
+        engine.open_session(_imgs(1, seed=33)[0],
+                            multiview_images=_imgs(2, seed=34))
+    assert e.value.status == 400
+    assert len(engine._free) == free_before
+
+    sid, _ = engine.open_session(_imgs(1, seed=32)[0])   # still serves
+    engine.close_session(sid)
+
+
 def test_serve_cli_builds_both_engines(tmp_path):
     """cli.serve constructs the right engine for each source flag."""
     import argparse
@@ -186,6 +234,65 @@ def test_serve_cli_builds_both_engines(tmp_path):
     export_model(config, params, 1, SEQ_LEN, out)
     args.artifact = out
     assert isinstance(build_engine(args), ArtifactEngine)
+
+
+def test_artifact_mux_engine_serves_concurrent_sessions(tmp_path):
+    """A lanes=N export serves N concurrent sessions from the artifact
+    alone (ArtifactMuxEngine, no model code): staggered open/step/close
+    trajectories each equal the dedicated incremental run, lanes recycle,
+    and cli.serve routes the artifact to the mux engine."""
+    import argparse
+
+    from videocad_tpu.cli.serve import build_engine
+    from videocad_tpu.infer.export import export_model
+    from videocad_tpu.infer.server import ArtifactMuxEngine
+
+    config = dict(TINY_CONFIG)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny_mux.vcdx")
+    meta = export_model(config, params, 1, SEQ_LEN, out, lanes=2)
+    assert meta["mux_lanes"] == 2 and not meta["mux_multiview"]
+
+    engine = build_engine(argparse.Namespace(artifact=out))
+    assert isinstance(engine, ArtifactMuxEngine)
+    server = make_server(engine)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    client = ServingClient(f"http://127.0.0.1:{server.server_address[1]}")
+    try:
+        m = client.meta()
+        assert m["engine"] == "artifact-mux" and m["lanes"] == 2
+
+        cads = {s: _imgs(1, seed=40 + s)[0] for s in range(3)}
+        frames = {s: _imgs(SEQ_LEN, seed=50 + s) for s in range(3)}
+
+        # staggered: A steps alone, then A+B interleave, A closes, C reuses
+        sid_a = client.open_session(cads[0])
+        got_a = [client.step(sid_a, frames[0][0])]
+        sid_b = client.open_session(cads[1])
+        got_b = []
+        for t in range(1, SEQ_LEN):
+            got_a.append(client.step(sid_a, frames[0][t]))
+            got_b.append(client.step(sid_b, frames[1][t - 1]))
+        client.close_session(sid_a)
+        sid_c = client.open_session(cads[2])   # freed lane recycles
+        got_c = [client.step(sid_c, frames[2][0])]
+        got_b.append(client.step(sid_b, frames[1][SEQ_LEN - 1]))
+        client.close_session(sid_b)
+        client.close_session(sid_c)
+
+        for s, got in ((0, got_a), (1, got_b), (2, got_c)):
+            want = _expected_actions(model, params, cads[s],
+                                     frames[s][:len(got)])
+            for t, (g, w) in enumerate(zip(got, want)):
+                assert g["step"] == t
+                np.testing.assert_allclose(g["action"], w,
+                                           rtol=1e-6, atol=1e-6)
+    finally:
+        server.shutdown()
+        engine.stop()
+        server.server_close()
 
 
 def test_artifact_engine_serves_vcdx(tmp_path):

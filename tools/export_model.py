@@ -37,6 +37,11 @@ def main(argv=None):
                          "streams int8 decoder weights quantized once per "
                          "session via the shipped quantize.shlo (+21%% "
                          "rollout actions/s on v5e, docs/PERF.md)")
+    ap.add_argument("--lanes", type=int, default=0,
+                    help="also export the lane-multiplexed serving trio "
+                         "(mux_init/mux_open/mux_step) specialized to N "
+                         "lanes — cli.serve then hosts N concurrent "
+                         "sessions from the artifact alone")
     ap.add_argument("--out", required=True, help=".vcdx output path")
     args = ap.parse_args(argv)
 
@@ -80,7 +85,7 @@ def main(argv=None):
 
     meta = export_model(config, params, args.batch, args.bucket, args.out,
                         with_rollout=not args.no_rollout,
-                        weight_quant=args.weight_quant)
+                        weight_quant=args.weight_quant, lanes=args.lanes)
     print(json.dumps({"out": args.out, **meta}))
 
 

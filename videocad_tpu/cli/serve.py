@@ -24,8 +24,16 @@ import argparse
 
 def build_engine(args):
     if args.artifact:
-        from videocad_tpu.infer.server import ArtifactEngine
+        import json
+        import zipfile
 
+        from videocad_tpu.infer.server import (ArtifactEngine,
+                                               ArtifactMuxEngine)
+
+        with zipfile.ZipFile(args.artifact) as zf:
+            meta = json.loads(zf.read("meta.json"))
+        if meta.get("mux_lanes"):   # lanes=N export -> multi-session
+            return ArtifactMuxEngine(args.artifact)
         return ArtifactEngine(args.artifact)
 
     import jax

@@ -16,6 +16,10 @@ model code:
                       (optional; models with action feedback only)
     prepare.shlo      once-per-session decode weight prep (compute-dtype
                       cast + fused q/k/v; int8 for weight_quant='int8')
+    mux_init.shlo     lane-multiplexed serving trio (optional, lanes=N
+    mux_open.shlo     exports): idle-carry allocator, per-session lane
+    mux_step.shlo     claim, and the multiplexed decode tick — multi-
+                      session continuous batching with no model code
 
 Exported functions are SHAPE-SPECIALIZED (batch size and padded sequence
 bucket are baked in — the same static-shape discipline the training stack
@@ -40,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def _flatten_params(params: Dict) -> Dict[str, np.ndarray]:
@@ -67,7 +71,8 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
 def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
                  bucket_len: int, out_path: str,
                  with_rollout: bool = True,
-                 weight_quant: str = "none") -> Dict[str, Any]:
+                 weight_quant: str = "none",
+                 lanes: int = 0) -> Dict[str, Any]:
     """Serialize the model into a .vcdx artifact; returns the meta dict.
 
     config: a model_configs-style dict; params: the flax param pytree;
@@ -83,6 +88,12 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
     every ``decode_step`` streams int8 decoder weights (measured +21%
     rollout actions/s on v5e — docs/PERF.md). ``params.npz`` stays full
     precision (it is the checkpoint of record).
+
+    lanes=N additionally exports the lane-multiplexed serving trio
+    (``mux_init.shlo`` / ``mux_open.shlo`` / ``mux_step.shlo`` — the
+    programs of infer/multiplex.py specialized to N lanes), so a host with
+    no model code serves N concurrent sessions with continuous batching
+    through :class:`~videocad_tpu.infer.server.ArtifactMuxEngine`.
     """
     from jax import export as jax_export
 
@@ -161,6 +172,56 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         step_exp = jax_export.export(jax.jit(decode_step))(
             session_spec, frame_spec, carry_spec)
 
+    mux_init_exp = mux_open_exp = mux_step_exp = None
+    if lanes > 0:
+        if not cfg.enable_past_actions:
+            raise ValueError(
+                "lanes > 0 exports the mux serving programs, which need "
+                "action feedback (enable_past_actions)")
+        from videocad_tpu.infer.multiplex import (init_mux_carry,
+                                                  mux_decode_step, open_lane)
+
+        multiview = cfg.num_views > 0
+        # The mux carry is all-zeros by construction — export a no-input
+        # allocator from its eval_shape rather than tracing the host-side
+        # init_mux_carry (which only needs shapes anyway).
+        mux_carry_spec = jax.eval_shape(
+            lambda p: init_mux_carry(model, p, lanes, bucket_len,
+                                     multiview=multiview), session_spec)
+
+        def mux_init():
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mux_carry_spec)
+
+        lane_spec = jax.ShapeDtypeStruct((), jnp.int32)
+        cad1_spec = jax.ShapeDtypeStruct((1,) + cad_hw, jnp.uint8)
+        lane_frames_spec = jax.ShapeDtypeStruct((lanes,) + img, jnp.uint8)
+        active_spec = jax.ShapeDtypeStruct((lanes,), jnp.bool_)
+
+        if multiview:
+            mv_spec = jax.ShapeDtypeStruct(
+                (1, cfg.num_views) + img, jnp.uint8)
+
+            def mux_open(p, carry, lane, cad_image, multiview_images):
+                return open_lane(model, p, carry, lane, cad_image,
+                                 multiview_images)
+
+            mux_open_exp = jax_export.export(jax.jit(mux_open))(
+                session_spec, mux_carry_spec, lane_spec, cad1_spec, mv_spec)
+        else:
+            def mux_open(p, carry, lane, cad_image):
+                return open_lane(model, p, carry, lane, cad_image)
+
+            mux_open_exp = jax_export.export(jax.jit(mux_open))(
+                session_spec, mux_carry_spec, lane_spec, cad1_spec)
+
+        def mux_step(p, frames, active, carry):
+            return mux_decode_step(model, p, frames, active, carry)
+
+        mux_init_exp = jax_export.export(jax.jit(mux_init))()
+        mux_step_exp = jax_export.export(jax.jit(mux_step))(
+            session_spec, lane_frames_spec, active_spec, mux_carry_spec)
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -171,6 +232,8 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         "has_rollout": with_rollout,
         "has_decode": step_exp is not None,
         "weight_quant": weight_quant,
+        "mux_lanes": lanes if mux_step_exp is not None else 0,
+        "mux_multiview": bool(lanes and cfg.num_views > 0),
     }
     flat = _flatten_params(params)
     buf = io.BytesIO()
@@ -188,6 +251,10 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
             zf.writestr("decode_step.shlo", step_exp.serialize())
         if quant_exp is not None:
             zf.writestr("prepare.shlo", quant_exp.serialize())
+        if mux_step_exp is not None:
+            zf.writestr("mux_init.shlo", mux_init_exp.serialize())
+            zf.writestr("mux_open.shlo", mux_open_exp.serialize())
+            zf.writestr("mux_step.shlo", mux_step_exp.serialize())
     return meta
 
 
@@ -196,7 +263,8 @@ class ExportedModel:
 
     def __init__(self, config: Dict, meta: Dict, params: Dict,
                  forward_exp, rollout_exp, decode_init_exp=None,
-                 decode_step_exp=None, quantize_exp=None):
+                 decode_step_exp=None, quantize_exp=None,
+                 mux_init_exp=None, mux_open_exp=None, mux_step_exp=None):
         self.config = config
         self.meta = meta
         self.params = params
@@ -205,6 +273,9 @@ class ExportedModel:
         self._decode_init = decode_init_exp
         self._decode_step = decode_step_exp
         self._quantize = quantize_exp
+        self._mux_init = mux_init_exp
+        self._mux_open = mux_open_exp
+        self._mux_step = mux_step_exp
         self._session_params = None
 
     def _decode_params(self):
@@ -249,6 +320,36 @@ class ExportedModel:
                 "without action feedback, or a pre-v2 artifact)")
         return self._decode_step.call(self._decode_params(), frame, carry)
 
+    def _require_mux(self):
+        if self._mux_step is None:
+            raise ValueError(
+                "artifact has no mux serving programs (export with "
+                "lanes=N, tools/export_model.py --lanes)")
+
+    def mux_init(self):
+        """Allocate the all-lanes-idle mux carry for this artifact's
+        ``meta['mux_lanes']`` concurrent sessions."""
+        self._require_mux()
+        return self._mux_init.call()
+
+    def mux_open(self, carry, lane, cad_image, multiview_images=None):
+        """Claim ``lane`` for a new session (batch-1 CAD context encode);
+        other lanes' state is untouched."""
+        self._require_mux()
+        if self.meta.get("mux_multiview"):
+            return self._mux_open.call(self._decode_params(), carry, lane,
+                                       cad_image, multiview_images)
+        return self._mux_open.call(self._decode_params(), carry, lane,
+                                   cad_image)
+
+    def mux_step(self, frames, active, carry) -> Tuple:
+        """One multiplexed tick: per-lane frames (L,H,W,C u8) + active
+        mask -> (new_carry, cmd logits (L,5), param logits (L,6,1000));
+        inactive lanes are bit-frozen (infer/multiplex.py semantics)."""
+        self._require_mux()
+        return self._mux_step.call(self._decode_params(), frames, active,
+                                   carry)
+
 
 def load_exported(path: str) -> ExportedModel:
     from jax import export as jax_export
@@ -271,4 +372,10 @@ def load_exported(path: str) -> ExportedModel:
             if member in zf.namelist():
                 quant = jax_export.deserialize(zf.read(member))
                 break
-    return ExportedModel(config, meta, params, fwd, roll, init, step, quant)
+        mux_init = mux_open = mux_step = None
+        if meta.get("mux_lanes") and "mux_step.shlo" in zf.namelist():
+            mux_init = jax_export.deserialize(zf.read("mux_init.shlo"))
+            mux_open = jax_export.deserialize(zf.read("mux_open.shlo"))
+            mux_step = jax_export.deserialize(zf.read("mux_step.shlo"))
+    return ExportedModel(config, meta, params, fwd, roll, init, step, quant,
+                         mux_init, mux_open, mux_step)

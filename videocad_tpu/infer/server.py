@@ -79,72 +79,57 @@ def _action_report(t: int, action_row: np.ndarray) -> Dict:
             "action": [float(v) for v in action_row]}
 
 
-class MuxEngine:
-    """Live-model engine: lane-multiplexed sessions + continuous batching.
+class _LaneEngine:
+    """Shared lane-session machinery: session bookkeeping + the continuous
+    batcher.  Subclasses provide the two device calls —
+    ``_device_open(carry, lane, cad, mv)`` and ``_device_step(frames,
+    active, carry)`` — and an initial ``self._carry``; everything else
+    (lane lifecycle, request coalescing, stale-step validation) is engine-
+    independent.
 
     All device work happens on the caller threads under ``_lock`` except
     steps, which are queued and coalesced by a batcher thread: every tick
-    it drains at most one pending request per lane into a single
-    ``mux_decode_step`` call and distributes the per-lane results.
+    it drains at most one pending request per lane into a single device
+    step call and distributes the per-lane results.
     """
 
-    def __init__(self, model, params, lanes: int = 4, seq_len: int = 187,
-                 weight_quant: str = "none"):
-        from videocad_tpu.infer.multiplex import init_mux_carry
-        from videocad_tpu.infer.rollout import (prepare_for_decode,
-                                                quantize_for_decode)
-
-        self.model = model
-        cfg = model.config
-        if weight_quant in ("int8", "int4"):
-            self.params = quantize_for_decode(
-                params, cfg.compute_dtype,
-                bits=8 if weight_quant == "int8" else 4)
-        else:
-            self.params = prepare_for_decode(params, cfg.compute_dtype)
+    def __init__(self, lanes: int, seq_len: int, image_size: int):
         self.lanes = lanes
         self.seq_len = seq_len
-        self.weight_quant = weight_quant
-        self._carry = init_mux_carry(model, params, lanes, seq_len,
-                                     multiview=cfg.num_views > 0)
-        self._img = (cfg.image_size, cfg.image_size, 3)
+        self._img = (image_size, image_size, 3)
         self._lock = threading.Lock()          # device calls + carry
         self._smeta: Dict[str, Dict] = {}      # session id -> {lane, t}
         self._free = list(range(lanes))
-        self._pending: list = []               # (lane, frame, event-box)
+        self._pending: list = []               # (sid, lane, frame, box)
         self._cv = threading.Condition()
         self._stopping = False
         self._batcher = threading.Thread(target=self._batch_loop,
                                          daemon=True)
         self._batcher.start()
 
+    # -- device calls (subclass responsibility) ------------------------
+    def _device_open(self, carry, lane: int, cad_image: np.ndarray,
+                     multiview_images: Optional[np.ndarray]):
+        raise NotImplementedError
+
+    def _device_step(self, frames: np.ndarray, active: np.ndarray, carry):
+        raise NotImplementedError
+
     # -- session API --------------------------------------------------
-    def meta(self) -> Dict:
-        import dataclasses
-
-        return {"engine": "mux", "lanes": self.lanes,
-                "free_lanes": len(self._free), "seq_len": self.seq_len,
-                "image_size": self._img[0],
-                "weight_quant": self.weight_quant,
-                "config": dataclasses.asdict(self.model.config)}
-
     def open_session(self, cad_image: np.ndarray,
                      multiview_images: Optional[np.ndarray] = None) -> Tuple[str, int]:
-        import jax.numpy as jnp
-
-        from videocad_tpu.infer.multiplex import open_lane
-
         with self._lock:
             if not self._free:
                 raise SessionError(
                     503, f"all {self.lanes} lanes busy; retry or raise "
                          "--lanes")
             lane = self._free.pop()
-            mv = (jnp.asarray(multiview_images)[None]
-                  if multiview_images is not None else None)
-            self._carry = open_lane(self.model, self.params, self._carry,
-                                    jnp.asarray(lane),
-                                    jnp.asarray(cad_image)[None], mv)
+            try:
+                self._carry = self._device_open(self._carry, lane,
+                                                cad_image, multiview_images)
+            except Exception:
+                self._free.append(lane)   # bad input must not leak the lane
+                raise
             sid = uuid.uuid4().hex[:12]
             self._smeta[sid] = {"lane": lane, "t": 0}
         return sid, lane
@@ -164,12 +149,15 @@ class MuxEngine:
                          f"got {frame.dtype} {frame.shape}")
         box = {"event": threading.Event(), "result": None, "error": None}
         with self._cv:
-            self._pending.append((meta["lane"], frame, box))
+            self._pending.append((session_id, meta["lane"], frame, box))
             self._cv.notify()
         box["event"].wait()
         if box["error"] is not None:
             raise box["error"]
-        meta["t"] += 1
+        with self._lock:   # session may have closed while the step ran
+            live = self._smeta.get(session_id)
+            if live is not None:
+                live["t"] += 1
         return box["result"]
 
     def close_session(self, session_id: str) -> None:
@@ -190,16 +178,12 @@ class MuxEngine:
 
     # -- continuous batcher -------------------------------------------
     def _batch_loop(self) -> None:
-        import jax.numpy as jnp
-
-        from videocad_tpu.infer.multiplex import mux_decode_step
-
         while True:
             with self._cv:
                 while not self._pending and not self._stopping:
                     self._cv.wait()
                 if self._stopping:
-                    for _, _, box in self._pending:
+                    for *_, box in self._pending:
                         box["error"] = SessionError(503, "server stopping")
                         box["event"].set()
                     return
@@ -208,33 +192,182 @@ class MuxEngine:
                 # steps are inherently serial anyway).
                 batch, rest, taken = [], [], set()
                 for item in self._pending:
-                    if item[0] in taken:
+                    if item[1] in taken:
                         rest.append(item)
                     else:
-                        taken.add(item[0])
+                        taken.add(item[1])
                         batch.append(item)
                 self._pending = rest
-            try:
-                frames = np.zeros((self.lanes,) + self._img, np.uint8)
-                active = np.zeros((self.lanes,), bool)
-                for lane, frame, _ in batch:
+            self._run_tick(batch)
+
+    def _run_tick(self, batch) -> None:
+        """Validate + dispatch one coalesced tick of ``(sid, lane, frame,
+        box)`` items and deliver per-item results.
+
+        Validation runs under the engine lock, atomically with the device
+        call: a step whose session was closed (or whose lane was re-issued
+        to a new session) between queueing and this tick must NOT advance
+        the lane's state — without the check, a stale queued frame would
+        silently corrupt the replacement session's t=0 carry.
+        """
+        try:
+            live, stale = [], []
+            frames = np.zeros((self.lanes,) + self._img, np.uint8)
+            active = np.zeros((self.lanes,), bool)
+            with self._lock:
+                for sid, lane, frame, box in batch:
+                    meta = self._smeta.get(sid)
+                    if meta is None or meta["lane"] != lane:
+                        stale.append(box)
+                        continue
+                    live.append((lane, box))
                     frames[lane] = frame
                     active[lane] = True
-                with self._lock:
-                    carry, cmd_logits, param_logits = mux_decode_step(
-                        self.model, self.params, jnp.asarray(frames),
-                        jnp.asarray(active), self._carry)
+                if live:
+                    carry, cmd_logits, param_logits = self._device_step(
+                        frames, active, self._carry)
                     self._carry = carry
                     actions = np.asarray(carry["action"])
                     ts = np.asarray(carry["t"])
-                for lane, _, box in batch:
-                    box["result"] = _action_report(ts[lane] - 1,
-                                                   actions[lane])
-                    box["event"].set()
-            except Exception as e:  # deliver, don't kill the batcher
-                for _, _, box in batch:
+            for box in stale:
+                box["error"] = SessionError(
+                    410, "session closed before its step ran")
+                box["event"].set()
+            for lane, box in live:
+                box["result"] = _action_report(ts[lane] - 1, actions[lane])
+                box["event"].set()
+        except Exception as e:  # deliver, don't kill the batcher
+            for *_, box in batch:
+                if not box["event"].is_set():
                     box["error"] = e
                     box["event"].set()
+
+
+class MuxEngine(_LaneEngine):
+    """Live-model engine: lane-multiplexed sessions + continuous batching
+    (the device programs of infer/multiplex.py, carry donated in place)."""
+
+    def __init__(self, model, params, lanes: int = 4, seq_len: int = 187,
+                 weight_quant: str = "none"):
+        from videocad_tpu.infer.multiplex import init_mux_carry
+        from videocad_tpu.infer.rollout import (prepare_for_decode,
+                                                quantize_for_decode)
+
+        self.model = model
+        cfg = model.config
+        if weight_quant in ("int8", "int4"):
+            self.params = quantize_for_decode(
+                params, cfg.compute_dtype,
+                bits=8 if weight_quant == "int8" else 4)
+        else:
+            self.params = prepare_for_decode(params, cfg.compute_dtype)
+        self.weight_quant = weight_quant
+        self._carry = init_mux_carry(model, params, lanes, seq_len,
+                                     multiview=cfg.num_views > 0)
+        super().__init__(lanes, seq_len, cfg.image_size)
+
+    def _device_open(self, carry, lane, cad_image, multiview_images):
+        import jax.numpy as jnp
+
+        from videocad_tpu.infer.multiplex import open_lane
+
+        cfg = self.model.config
+        want = ((256, 256, 3) if cfg.use_pretrained_cad_model
+                else self._img)
+        cad = np.asarray(cad_image)
+        if cad.shape != want or cad.dtype != np.uint8:
+            raise SessionError(400, f"cad_image must be uint8 {want}, "
+                                    f"got {cad.dtype} {cad.shape}")
+        if cfg.num_views > 0:
+            if multiview_images is None:
+                raise SessionError(
+                    400, f"model expects {cfg.num_views} multiview_images")
+            mv = np.asarray(multiview_images)
+            mv_want = (cfg.num_views,) + self._img
+            if mv.shape != mv_want or mv.dtype != np.uint8:
+                raise SessionError(
+                    400, f"multiview_images must be uint8 {mv_want}, "
+                         f"got {mv.dtype} {mv.shape}")
+            mv = jnp.asarray(mv)[None]
+        elif multiview_images is not None:
+            raise SessionError(400, "model takes no multiview_images")
+        else:
+            mv = None
+        return open_lane(self.model, self.params, carry, jnp.asarray(lane),
+                         jnp.asarray(cad)[None], mv)
+
+    def _device_step(self, frames, active, carry):
+        import jax.numpy as jnp
+
+        from videocad_tpu.infer.multiplex import mux_decode_step
+
+        return mux_decode_step(self.model, self.params,
+                               jnp.asarray(frames), jnp.asarray(active),
+                               carry)
+
+    def meta(self) -> Dict:
+        import dataclasses
+
+        return {"engine": "mux", "lanes": self.lanes,
+                "free_lanes": len(self._free), "seq_len": self.seq_len,
+                "image_size": self._img[0],
+                "weight_quant": self.weight_quant,
+                "config": dataclasses.asdict(self.model.config)}
+
+
+class ArtifactMuxEngine(_LaneEngine):
+    """Multi-session serving from a self-contained ``.vcdx`` artifact.
+
+    Runs the artifact's exported mux programs (``mux_init.shlo`` /
+    ``mux_open.shlo`` / ``mux_step.shlo`` — export_model(..., lanes=N))
+    with NO model code on the host: the same continuous batching as
+    :class:`MuxEngine`, driven entirely through deserialized StableHLO.
+    Artifacts without mux programs (lanes=0 exports, pre-v3) serve through
+    the single-session :class:`ArtifactEngine` instead.
+    """
+
+    def __init__(self, path: str):
+        from videocad_tpu.infer.export import load_exported
+
+        self.exported = load_exported(path)
+        meta = self.exported.meta
+        if not meta.get("mux_lanes"):
+            raise ValueError(
+                f"{path} has no mux decode programs; re-export with "
+                "lanes=N (tools/export_model.py --lanes) or serve it "
+                "through ArtifactEngine")
+        self._multiview = bool(meta.get("mux_multiview"))
+        self._carry = self.exported.mux_init()
+        super().__init__(meta["mux_lanes"], meta["bucket_len"],
+                         meta["image_size"])
+
+    def _device_open(self, carry, lane, cad_image, multiview_images):
+        cad = np.asarray(cad_image)
+        if cad.shape != self._img or cad.dtype != np.uint8:
+            raise SessionError(400, f"cad_image must be uint8 {self._img}, "
+                                    f"got {cad.dtype} {cad.shape}")
+        if self._multiview:
+            if multiview_images is None:
+                raise SessionError(400, "this artifact was exported for a "
+                                        "multiview model; multiview_images "
+                                        "is required")
+            mv = np.asarray(multiview_images)
+            return self.exported.mux_open(carry, np.int32(lane), cad[None],
+                                          mv[None])
+        if multiview_images is not None:
+            raise SessionError(400, "artifact was exported without "
+                                    "multiview inputs")
+        return self.exported.mux_open(carry, np.int32(lane), cad[None])
+
+    def _device_step(self, frames, active, carry):
+        return self.exported.mux_step(frames, active, carry)
+
+    def meta(self) -> Dict:
+        return {"engine": "artifact-mux", "lanes": self.lanes,
+                "free_lanes": len(self._free), "seq_len": self.seq_len,
+                "image_size": self._img[0],
+                "weight_quant": self.exported.meta.get("weight_quant"),
+                "config": self.exported.config}
 
 
 class ArtifactEngine:
@@ -243,6 +376,8 @@ class ArtifactEngine:
     The exported decode pair shares one step counter across the artifact's
     batch lanes, so this engine serves ONE session at a time; the artifact
     of record for serving is exported at batch 1 (tools/export_model.py).
+    Artifacts exported with ``lanes=N`` serve multi-session through
+    :class:`ArtifactMuxEngine`.
     """
 
     def __init__(self, path: str):
