@@ -193,3 +193,40 @@ def test_mux_requires_action_feedback():
     model, params = _build(dict(enable_past_actions=False))
     with pytest.raises(ValueError, match="enable_past_actions"):
         init_mux_carry(model, params, LANES, SEQ_LEN)
+
+
+def test_mux_under_mesh_equals_unsharded():
+    """The serving tick runs with the lane axis sharded over the data axis
+    of a (data=4, model=2) mesh — per-lane actions match the unsharded mux
+    bit-for-byte, so a serving host scales lanes across chips the same way
+    training shards its batch."""
+    from videocad_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    model, params = _build()
+    size = model.config.image_size
+    lanes = 8
+    cads = [_imgs(1, size, seed=60 + i)[0] for i in range(lanes)]
+    ticks = [_imgs(lanes, size, seed=70 + t) for t in range(3)]
+
+    def run(shard):
+        mesh = create_mesh(4, 2) if shard else None
+        put = ((lambda a: jax.device_put(a, batch_sharding(mesh)))
+               if shard else (lambda a: a))
+        carry = init_mux_carry(model, params, lanes, SEQ_LEN)
+        carry = jax.tree_util.tree_map(put, carry)
+        for i, cad in enumerate(cads):
+            carry = open_lane(model, params, carry, jnp.asarray(i),
+                              jnp.asarray(cad)[None])
+        active = put(jnp.ones((lanes,), bool))
+        outs = []
+        for frames in ticks:
+            carry, cmd, _ = mux_decode_step(model, params,
+                                            put(jnp.asarray(frames)),
+                                            active, carry)
+            outs.append((np.asarray(cmd),
+                         np.asarray(carry["action"])))
+        return outs
+
+    for (cmd_s, act_s), (cmd_u, act_u) in zip(run(True), run(False)):
+        np.testing.assert_allclose(cmd_s, cmd_u, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(act_s, act_u)
