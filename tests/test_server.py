@@ -157,6 +157,25 @@ def test_protocol_errors(served):
     client.close_session(sid)
 
 
+def test_stats_reports_serving_telemetry(served):
+    """/v1/stats accounts every step, tracks coalescing (steps per device
+    tick), and reports tick latency percentiles."""
+    model, params, engine, client = served
+    base = client.stats()
+    cad, frames = _imgs(1, seed=60)[0], _imgs(SEQ_LEN, seed=61)
+    _drive(client, cad, frames)
+
+    s = client.stats()
+    assert s["steps"] - base["steps"] == SEQ_LEN
+    assert s["sessions_opened"] == base["sessions_opened"] + 1
+    assert s["active_sessions"] == 0
+    new_ticks = s["ticks"] - base["ticks"]
+    assert 0 < new_ticks <= SEQ_LEN   # one serial client: <=1 step/tick
+    assert s["coalescing_factor"] >= 1.0
+    assert s["mean_tick_ms"] > 0 and s["p50_tick_ms"] <= s["p95_tick_ms"]
+    assert s["uptime_s"] >= 0
+
+
 def test_stale_step_cannot_touch_a_reissued_lane(served):
     """A step queued for a session that closes before its batcher tick
     must not advance the lane — otherwise a new session claiming that
@@ -316,6 +335,9 @@ def test_artifact_engine_serves_vcdx(tmp_path):
         assert client.meta()["engine"] == "artifact"
         cad, frames = _imgs(1, seed=5)[0], _imgs(SEQ_LEN, seed=6)
         got = _drive(client, cad, frames)
+        s = client.stats()
+        assert s["steps"] == SEQ_LEN and s["sessions_opened"] == 1
+        assert s["mean_step_ms"] > 0
 
         loaded = load_exported(out)
         carry = loaded.decode_init(cad[None])

@@ -23,6 +23,8 @@ HTTP surface (JSON bodies; images are base64-encoded ``.npy`` payloads —
 ``tools`` stay stdlib-only, mirroring the QA harness's REST clients):
 
   GET    /v1/meta                      model/config/capacity info
+  GET    /v1/stats                     serving telemetry (ticks, steps,
+                                       coalescing factor, tick latency)
   POST   /v1/sessions                  {"cad_image": npy_b64[, "multiview_images": npy_b64]}
                                        -> {"session_id": ..., "lane": ...}
   POST   /v1/sessions/<id>/step        {"frame": npy_b64}
@@ -40,9 +42,11 @@ tests/test_server.py.
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
@@ -103,6 +107,10 @@ class _LaneEngine:
         self._pending: list = []               # (sid, lane, frame, box)
         self._cv = threading.Condition()
         self._stopping = False
+        self._started = time.monotonic()
+        self._stats = {"ticks": 0, "steps": 0, "stale_steps": 0,
+                       "sessions_opened": 0, "tick_ms_sum": 0.0}
+        self._tick_ms = collections.deque(maxlen=512)  # recent, for pcts
         self._batcher = threading.Thread(target=self._batch_loop,
                                          daemon=True)
         self._batcher.start()
@@ -132,6 +140,7 @@ class _LaneEngine:
                 raise
             sid = uuid.uuid4().hex[:12]
             self._smeta[sid] = {"lane": lane, "t": 0}
+            self._stats["sessions_opened"] += 1
         return sid, lane
 
     def step(self, session_id: str, frame: np.ndarray) -> Dict:
@@ -175,6 +184,34 @@ class _LaneEngine:
             self._stopping = True
             self._cv.notify()
         self._batcher.join(timeout=5)
+
+    def stats(self) -> Dict:
+        """Serving telemetry: tick counts, coalescing factor, device-tick
+        latency (mean over all ticks; p50/p95 over the last 512).  The
+        coalescing factor is the continuous batcher's efficiency — steps
+        served per device tick, i.e. how many clients shared each decoder
+        weight stream."""
+        with self._lock:
+            s = dict(self._stats)
+            recent = sorted(self._tick_ms)
+            active = len(self._smeta)
+        pct = (lambda q: round(recent[min(len(recent) - 1,
+                                          int(q * len(recent)))], 3)
+               if recent else None)
+        return {
+            "uptime_s": round(time.monotonic() - self._started, 1),
+            "active_sessions": active,
+            "sessions_opened": s["sessions_opened"],
+            "ticks": s["ticks"],
+            "steps": s["steps"],
+            "stale_steps": s["stale_steps"],
+            "coalescing_factor": (round(s["steps"] / s["ticks"], 3)
+                                  if s["ticks"] else None),
+            "mean_tick_ms": (round(s["tick_ms_sum"] / s["ticks"], 3)
+                             if s["ticks"] else None),
+            "p50_tick_ms": pct(0.50),
+            "p95_tick_ms": pct(0.95),
+        }
 
     # -- continuous batcher -------------------------------------------
     def _batch_loop(self) -> None:
@@ -224,11 +261,18 @@ class _LaneEngine:
                     frames[lane] = frame
                     active[lane] = True
                 if live:
+                    t0 = time.monotonic()
                     carry, cmd_logits, param_logits = self._device_step(
                         frames, active, self._carry)
                     self._carry = carry
-                    actions = np.asarray(carry["action"])
+                    actions = np.asarray(carry["action"])  # device sync
                     ts = np.asarray(carry["t"])
+                    ms = (time.monotonic() - t0) * 1000.0
+                    self._stats["ticks"] += 1
+                    self._stats["steps"] += len(live)
+                    self._stats["tick_ms_sum"] += ms
+                    self._tick_ms.append(ms)
+                self._stats["stale_steps"] += len(stale)
             for box in stale:
                 box["error"] = SessionError(
                     410, "session closed before its step ran")
@@ -394,6 +438,8 @@ class ArtifactEngine:
         self._img = (meta["image_size"], meta["image_size"], 3)
         self._lock = threading.Lock()
         self._session = None   # {id, carry, t}
+        self._started = time.monotonic()
+        self._stats = {"steps": 0, "sessions_opened": 0, "step_ms_sum": 0.0}
 
     def meta(self) -> Dict:
         return {"engine": "artifact", "lanes": 1,
@@ -423,6 +469,7 @@ class ArtifactEngine:
             carry = self.exported.decode_init(cad.astype(np.uint8))
             sid = uuid.uuid4().hex[:12]
             self._session = {"id": sid, "carry": carry, "t": 0}
+            self._stats["sessions_opened"] += 1
         return sid, 0
 
     def step(self, session_id: str, frame: np.ndarray) -> Dict:
@@ -438,11 +485,14 @@ class ArtifactEngine:
             if f.shape != (self.batch,) + self._img or f.dtype != np.uint8:
                 raise SessionError(400, f"frame must be uint8 {self._img} "
                                         f"or {(self.batch,) + self._img}")
+            t0 = time.monotonic()
             carry, cmd_logits, param_logits = self.exported.decode_step(
                 f, s["carry"])
             s["carry"] = carry
             s["t"] += 1
-            action = np.asarray(carry["action"])[0]
+            action = np.asarray(carry["action"])[0]   # device sync
+            self._stats["steps"] += 1
+            self._stats["step_ms_sum"] += (time.monotonic() - t0) * 1000.0
             return _action_report(s["t"] - 1, action)
 
     def close_session(self, session_id: str) -> None:
@@ -450,6 +500,19 @@ class ArtifactEngine:
             if self._session is None or self._session["id"] != session_id:
                 raise SessionError(404, f"unknown session {session_id}")
             self._session = None
+
+    def stats(self) -> Dict:
+        with self._lock:
+            s = dict(self._stats)
+            active = 1 if self._session else 0
+        return {
+            "uptime_s": round(time.monotonic() - self._started, 1),
+            "active_sessions": active,
+            "sessions_opened": s["sessions_opened"],
+            "steps": s["steps"],
+            "mean_step_ms": (round(s["step_ms_sum"] / s["steps"], 3)
+                             if s["steps"] else None),
+        }
 
     def stop(self) -> None:
         pass
@@ -481,6 +544,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if method == "GET" and parts == ["v1", "meta"]:
                 return self._json(200, self.engine.meta())
+            if method == "GET" and parts == ["v1", "stats"]:
+                return self._json(200, self.engine.stats())
             if method == "POST" and parts == ["v1", "sessions"]:
                 body = self._body()
                 mv = body.get("multiview_images")
@@ -545,6 +610,9 @@ class ServingClient:
 
     def meta(self) -> Dict:
         return self._request("GET", "/v1/meta")
+
+    def stats(self) -> Dict:
+        return self._request("GET", "/v1/stats")
 
     def open_session(self, cad_image: np.ndarray,
                      multiview_images: Optional[np.ndarray] = None) -> str:
