@@ -65,26 +65,8 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
     [batch_size]` (batch 8 is the headline; larger batches amortize the
     per-step decoder weight stream — serving mode).
     """
-    from videocad_tpu.infer.rollout import sequential_inference
-
-    model = create_model(FLAGSHIP)
-    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
-    feed = synthetic_batch_feed(batch_size, seq_len, image_size=224,
-                                channels=3, seed=0)
-    frames = jax.device_put(jnp.asarray(feed["frames"]))
-    cad = jax.device_put(jnp.asarray(feed["cad_image"]))
-
-    for _ in range(warmup):
-        cmds, _ = sequential_inference(model, params, frames, cad,
-                                       weight_quant=weight_quant)
-    float(cmds[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cmds, _ = sequential_inference(model, params, frames, cad,
-                                       weight_quant=weight_quant)
-    float(cmds[0, 0, 0])
-    elapsed = time.perf_counter() - t0
-    actions_per_sec = batch_size * seq_len * iters / elapsed
+    actions_per_sec = _measure_rollout(batch_size, seq_len, warmup, iters,
+                                       weight_quant)
     suffix = {"none": "", "int8": "_w8", "int4": "_w4"}[weight_quant]
     print(json.dumps({
         "metric": f"rollout_actions_per_sec{suffix}",

@@ -205,6 +205,27 @@ def test_stale_step_cannot_touch_a_reissued_lane(served):
     engine.close_session(new_sid)
 
 
+def test_deferred_duplicate_step_cannot_pass_the_horizon(served):
+    """Two concurrent step requests can both pass step()'s enqueue-time
+    horizon check at t = seq_len - 1; the batcher defers the duplicate to
+    the next tick, where the authoritative re-check must 409 it instead
+    of running a device step whose clamped cache write would corrupt the
+    session's final KV slot."""
+    model, params, engine, client = served
+    cad, frame = _imgs(1, seed=70)[0], _imgs(1, seed=71)[0]
+    sid, lane = engine.open_session(cad)
+    for _ in range(SEQ_LEN):
+        engine.step(sid, frame)
+
+    box = {"event": threading.Event(), "result": None, "error": None}
+    engine._run_tick([(sid, lane, frame, box)])   # the deferred duplicate
+    assert box["event"].is_set()
+    assert isinstance(box["error"], SessionError)
+    assert box["error"].status == 409
+    assert int(engine._carry["t"][lane]) == SEQ_LEN   # lane state frozen
+    engine.close_session(sid)
+
+
 def test_failed_open_does_not_leak_a_lane(served):
     """An open_session with a rejected input (wrong CAD shape / stray
     multiview payload) gets a 400 and must return the popped lane to the
@@ -312,6 +333,37 @@ def test_artifact_mux_engine_serves_concurrent_sessions(tmp_path):
         server.shutdown()
         engine.stop()
         server.server_close()
+
+
+def test_gencad_artifact_serves_256_cad_images(tmp_path):
+    """Artifacts exported from use_pretrained_cad_model configs take
+    256x256x3 Canny-edge CAD images regardless of the frame image_size —
+    both artifact engines must validate against the exported CAD shape,
+    not the frame shape (a frame-shaped cad must 400, the 256 edge image
+    must serve)."""
+    from videocad_tpu.infer.export import export_model
+    from videocad_tpu.infer.server import ArtifactMuxEngine
+
+    config = dict(TINY_CONFIG, use_pretrained_cad_model=True)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny_gencad.vcdx")
+    export_model(config, params, 1, SEQ_LEN, out, lanes=2)
+
+    cad256 = _imgs(1, seed=80, size=256)[0]
+    frame = _imgs(1, seed=81)[0]
+
+    for engine in (ArtifactMuxEngine(out), ArtifactEngine(out)):
+        try:
+            with pytest.raises(SessionError) as e:   # frame-shaped cad
+                engine.open_session(_imgs(1, seed=82)[0])
+            assert e.value.status == 400 and "256" in str(e.value)
+            sid, _ = engine.open_session(cad256)
+            got = engine.step(sid, frame)
+            assert got["step"] == 0
+            engine.close_session(sid)
+        finally:
+            engine.stop()
 
 
 def test_artifact_engine_serves_vcdx(tmp_path):

@@ -74,7 +74,10 @@ def main(argv=None):
                                     os.path.dirname(base) or ".")
         model = create_model(config)
         init = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
-        tx = make_optimizer({"lr": 0.0})
+        # Match the opt_state tree training saved (gencad = frozen CAD
+        # encoder via multi_transform; see train/trainer.py).
+        tx = make_optimizer({"lr": 0.0},
+                            freeze_cad=model.config.use_pretrained_cad_model)
         target = TrainState(step=0, params=init, opt_state=tx.init(init))
         restored, _ = handler.restore(name, target)
         params = restored.params

@@ -51,7 +51,11 @@ def build_engine(args):
 
         handler = CheckpointHandler(args.checkpoint_folder,
                                     args.checkpoint_dir)
-        tx = make_optimizer({"lr": 0.0})
+        # The restore target's opt_state tree must match the one training
+        # saved: gencad configs train with a frozen CAD encoder
+        # (multi_transform), everything else with plain adam.
+        tx = make_optimizer({"lr": 0.0},
+                            freeze_cad=model.config.use_pretrained_cad_model)
         target = TrainState(step=0, params=params,
                             opt_state=tx.init(params))
         restored, _ = handler.restore(args.checkpoint_name, target)

@@ -70,6 +70,13 @@ class SessionError(Exception):
         self.status = status
 
 
+def _artifact_cad_shape(config: Dict, img: Tuple[int, int, int]):
+    """The CAD-image shape an artifact's exported programs were traced
+    with: GenCAD configs consume 256x256x3 Canny edges regardless of the
+    frame image_size (export.py cad_hw)."""
+    return (256, 256, 3) if config.get("use_pretrained_cad_model") else img
+
+
 def _action_report(t: int, action_row: np.ndarray) -> Dict:
     """The per-step response: denormalized masked action + raw feedback.
 
@@ -163,10 +170,6 @@ class _LaneEngine:
         box["event"].wait()
         if box["error"] is not None:
             raise box["error"]
-        with self._lock:   # session may have closed while the step ran
-            live = self._smeta.get(session_id)
-            if live is not None:
-                live["t"] += 1
         return box["result"]
 
     def close_session(self, session_id: str) -> None:
@@ -242,13 +245,18 @@ class _LaneEngine:
         box)`` items and deliver per-item results.
 
         Validation runs under the engine lock, atomically with the device
-        call: a step whose session was closed (or whose lane was re-issued
-        to a new session) between queueing and this tick must NOT advance
-        the lane's state — without the check, a stale queued frame would
-        silently corrupt the replacement session's t=0 carry.
+        call, and is authoritative for the session step counter: a step
+        whose session was closed (or whose lane was re-issued to a new
+        session) between queueing and this tick must NOT advance the
+        lane's state — without the check, a stale queued frame would
+        silently corrupt the replacement session's t=0 carry.  The horizon
+        is re-checked here too: two concurrent requests for one session
+        can both pass step()'s enqueue-time check at t = seq_len - 1, and
+        the deferred duplicate must get the 409, not a device step whose
+        clamped cache write would corrupt the final KV slot.
         """
         try:
-            live, stale = [], []
+            live, stale, exhausted = [], [], []
             frames = np.zeros((self.lanes,) + self._img, np.uint8)
             active = np.zeros((self.lanes,), bool)
             with self._lock:
@@ -257,7 +265,10 @@ class _LaneEngine:
                     if meta is None or meta["lane"] != lane:
                         stale.append(box)
                         continue
-                    live.append((lane, box))
+                    if meta["t"] >= self.seq_len:
+                        exhausted.append(box)
+                        continue
+                    live.append((lane, box, meta))
                     frames[lane] = frame
                     active[lane] = True
                 if live:
@@ -268,6 +279,8 @@ class _LaneEngine:
                     actions = np.asarray(carry["action"])  # device sync
                     ts = np.asarray(carry["t"])
                     ms = (time.monotonic() - t0) * 1000.0
+                    for _, _, meta in live:   # the step is now committed
+                        meta["t"] += 1
                     self._stats["ticks"] += 1
                     self._stats["steps"] += len(live)
                     self._stats["tick_ms_sum"] += ms
@@ -277,7 +290,12 @@ class _LaneEngine:
                 box["error"] = SessionError(
                     410, "session closed before its step ran")
                 box["event"].set()
-            for lane, box in live:
+            for box in exhausted:
+                box["error"] = SessionError(
+                    409, f"session exhausted its {self.seq_len}-step "
+                         "horizon; open a new session")
+                box["event"].set()
+            for lane, box, _ in live:
                 box["result"] = _action_report(ts[lane] - 1, actions[lane])
                 box["event"].set()
         except Exception as e:  # deliver, don't kill the batcher
@@ -384,12 +402,14 @@ class ArtifactMuxEngine(_LaneEngine):
         self._carry = self.exported.mux_init()
         super().__init__(meta["mux_lanes"], meta["bucket_len"],
                          meta["image_size"])
+        self._cad_hw = _artifact_cad_shape(self.exported.config, self._img)
 
     def _device_open(self, carry, lane, cad_image, multiview_images):
         cad = np.asarray(cad_image)
-        if cad.shape != self._img or cad.dtype != np.uint8:
-            raise SessionError(400, f"cad_image must be uint8 {self._img}, "
-                                    f"got {cad.dtype} {cad.shape}")
+        if cad.shape != self._cad_hw or cad.dtype != np.uint8:
+            raise SessionError(400,
+                               f"cad_image must be uint8 {self._cad_hw}, "
+                               f"got {cad.dtype} {cad.shape}")
         if self._multiview:
             if multiview_images is None:
                 raise SessionError(400, "this artifact was exported for a "
@@ -436,6 +456,7 @@ class ArtifactEngine:
         self.batch = meta["batch_size"]
         self.seq_len = meta["bucket_len"]
         self._img = (meta["image_size"], meta["image_size"], 3)
+        self._cad_hw = _artifact_cad_shape(self.exported.config, self._img)
         self._lock = threading.Lock()
         self._session = None   # {id, carry, t}
         self._started = time.monotonic()
@@ -455,11 +476,11 @@ class ArtifactEngine:
             raise SessionError(400, "artifact decode programs take the CAD "
                                     "image only")
         cad = np.asarray(cad_image)
-        if cad.shape == self._img:       # single image -> artifact batch
-            cad = np.broadcast_to(cad, (self.batch,) + self._img)
-        if cad.shape != (self.batch,) + self._img:
-            raise SessionError(400, f"cad_image must be {self._img} or "
-                                    f"{(self.batch,) + self._img}")
+        if cad.shape == self._cad_hw:    # single image -> artifact batch
+            cad = np.broadcast_to(cad, (self.batch,) + self._cad_hw)
+        if cad.shape != (self.batch,) + self._cad_hw:
+            raise SessionError(400, f"cad_image must be {self._cad_hw} or "
+                                    f"{(self.batch,) + self._cad_hw}")
         with self._lock:
             if self._session is not None:
                 raise SessionError(
