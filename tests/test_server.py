@@ -9,6 +9,7 @@ anchor: every served action must equal the dedicated
 
 import os
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -245,6 +246,35 @@ def test_failed_open_does_not_leak_a_lane(served):
     engine.close_session(sid)
 
 
+def test_idle_sessions_are_evicted_when_lanes_are_needed(served):
+    """With --session_ttl, a full engine evicts sessions idle past the
+    TTL instead of 503ing new clients; fresh sessions are never evicted,
+    and an evicted session id answers 404 afterwards."""
+    model, params, engine, client = served
+    ttl_engine = MuxEngine(model, params, lanes=2, seq_len=SEQ_LEN,
+                           session_ttl_s=1.5)
+    try:
+        cad, frame = _imgs(1, seed=90)[0], _imgs(1, seed=91)[0]
+        sid1, _ = ttl_engine.open_session(cad)
+        sid2, _ = ttl_engine.open_session(cad)
+        with pytest.raises(SessionError) as e:   # both sessions are fresh
+            ttl_engine.open_session(cad)
+        assert e.value.status == 503
+
+        time.sleep(1.6)
+        sid3, _ = ttl_engine.open_session(cad)   # evicts an idle session
+        s = ttl_engine.stats()
+        assert s["sessions_evicted"] >= 1
+        assert s["active_sessions"] + s["sessions_evicted"] == 3
+        with pytest.raises(SessionError) as e:   # evicted id is gone
+            ttl_engine.step(sid1 if sid1 not in ttl_engine._smeta else sid2,
+                            frame)
+        assert e.value.status == 404
+        assert ttl_engine.step(sid3, frame)["step"] == 0
+    finally:
+        ttl_engine.stop()
+
+
 def test_serve_cli_builds_both_engines(tmp_path):
     """cli.serve constructs the right engine for each source flag."""
     import argparse
@@ -260,7 +290,7 @@ def test_serve_cli_builds_both_engines(tmp_path):
         artifact=None, model_config=cfg_path, model_name="tiny",
         checkpoint_folder=None, checkpoint_name="best_model",
         checkpoint_dir="checkpoints", lanes=2, seq_len=SEQ_LEN,
-        weight_quant="int8")
+        weight_quant="int8", session_ttl=None)
     engine = build_engine(args)
     assert isinstance(engine, MuxEngine)
     meta = engine.meta()
@@ -294,7 +324,8 @@ def test_artifact_mux_engine_serves_concurrent_sessions(tmp_path):
     meta = export_model(config, params, 1, SEQ_LEN, out, lanes=2)
     assert meta["mux_lanes"] == 2 and not meta["mux_multiview"]
 
-    engine = build_engine(argparse.Namespace(artifact=out))
+    engine = build_engine(argparse.Namespace(artifact=out,
+                                             session_ttl=None))
     assert isinstance(engine, ArtifactMuxEngine)
     server = make_server(engine)
     thread = threading.Thread(target=server.serve_forever, daemon=True)

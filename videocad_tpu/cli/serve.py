@@ -33,7 +33,8 @@ def build_engine(args):
         with zipfile.ZipFile(args.artifact) as zf:
             meta = json.loads(zf.read("meta.json"))
         if meta.get("mux_lanes"):   # lanes=N export -> multi-session
-            return ArtifactMuxEngine(args.artifact)
+            return ArtifactMuxEngine(args.artifact,
+                                     session_ttl_s=args.session_ttl)
         return ArtifactEngine(args.artifact)
 
     import jax
@@ -61,7 +62,8 @@ def build_engine(args):
         restored, _ = handler.restore(args.checkpoint_name, target)
         params = restored.params
     return MuxEngine(model, params, lanes=args.lanes, seq_len=args.seq_len,
-                     weight_quant=args.weight_quant)
+                     weight_quant=args.weight_quant,
+                     session_ttl_s=args.session_ttl)
 
 
 def main(argv=None):
@@ -89,6 +91,10 @@ def main(argv=None):
                         help="int8 = w8a16 decoder weight streaming "
                              "(+21%% decode actions/s on v5e); int4 = "
                              "w4a16 (coarser rounding, smaller stream)")
+    parser.add_argument("--session_ttl", type=float, default=None,
+                        help="evict sessions idle this many seconds when "
+                             "lanes are requested (abandoned clients "
+                             "can't pin lanes); omit to never evict")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8741)
     args = parser.parse_args(argv)

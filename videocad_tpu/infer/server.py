@@ -104,9 +104,11 @@ class _LaneEngine:
     step call and distributes the per-lane results.
     """
 
-    def __init__(self, lanes: int, seq_len: int, image_size: int):
+    def __init__(self, lanes: int, seq_len: int, image_size: int,
+                 session_ttl_s: Optional[float] = None):
         self.lanes = lanes
         self.seq_len = seq_len
+        self.session_ttl_s = session_ttl_s
         self._img = (image_size, image_size, 3)
         self._lock = threading.Lock()          # device calls + carry
         self._smeta: Dict[str, Dict] = {}      # session id -> {lane, t}
@@ -116,7 +118,8 @@ class _LaneEngine:
         self._stopping = False
         self._started = time.monotonic()
         self._stats = {"ticks": 0, "steps": 0, "stale_steps": 0,
-                       "sessions_opened": 0, "tick_ms_sum": 0.0}
+                       "sessions_opened": 0, "sessions_evicted": 0,
+                       "tick_ms_sum": 0.0}
         self._tick_ms = collections.deque(maxlen=512)  # recent, for pcts
         self._batcher = threading.Thread(target=self._batch_loop,
                                          daemon=True)
@@ -131,9 +134,29 @@ class _LaneEngine:
         raise NotImplementedError
 
     # -- session API --------------------------------------------------
+    def _reap_idle_locked(self) -> None:
+        """Evict sessions idle past ``session_ttl_s`` (callers hold
+        ``_lock``).  Lazy: runs when capacity is requested, so abandoned
+        sessions (client crashed mid-episode) can't pin lanes forever.
+        Evicted session ids answer 404/410 afterwards — the same contract
+        as an explicit close."""
+        if self.session_ttl_s is None:
+            return
+        from videocad_tpu.infer.multiplex import close_lane
+
+        now = time.monotonic()
+        for sid in [s for s, m in self._smeta.items()
+                    if now - m["last_used"] > self.session_ttl_s]:
+            meta = self._smeta.pop(sid)
+            self._carry = close_lane(self._carry, meta["lane"])
+            self._free.append(meta["lane"])
+            self._stats["sessions_evicted"] += 1
+
     def open_session(self, cad_image: np.ndarray,
                      multiview_images: Optional[np.ndarray] = None) -> Tuple[str, int]:
         with self._lock:
+            if not self._free:
+                self._reap_idle_locked()
             if not self._free:
                 raise SessionError(
                     503, f"all {self.lanes} lanes busy; retry or raise "
@@ -146,7 +169,8 @@ class _LaneEngine:
                 self._free.append(lane)   # bad input must not leak the lane
                 raise
             sid = uuid.uuid4().hex[:12]
-            self._smeta[sid] = {"lane": lane, "t": 0}
+            self._smeta[sid] = {"lane": lane, "t": 0,
+                                "last_used": time.monotonic()}
             self._stats["sessions_opened"] += 1
         return sid, lane
 
@@ -163,6 +187,7 @@ class _LaneEngine:
                 raise SessionError(
                     400, f"frame must be uint8 {self._img}, "
                          f"got {frame.dtype} {frame.shape}")
+            meta["last_used"] = time.monotonic()
         box = {"event": threading.Event(), "result": None, "error": None}
         with self._cv:
             self._pending.append((session_id, meta["lane"], frame, box))
@@ -205,6 +230,7 @@ class _LaneEngine:
             "uptime_s": round(time.monotonic() - self._started, 1),
             "active_sessions": active,
             "sessions_opened": s["sessions_opened"],
+            "sessions_evicted": s["sessions_evicted"],
             "ticks": s["ticks"],
             "steps": s["steps"],
             "stale_steps": s["stale_steps"],
@@ -310,7 +336,8 @@ class MuxEngine(_LaneEngine):
     (the device programs of infer/multiplex.py, carry donated in place)."""
 
     def __init__(self, model, params, lanes: int = 4, seq_len: int = 187,
-                 weight_quant: str = "none"):
+                 weight_quant: str = "none",
+                 session_ttl_s: Optional[float] = None):
         from videocad_tpu.infer.multiplex import init_mux_carry
         from videocad_tpu.infer.rollout import (prepare_for_decode,
                                                 quantize_for_decode)
@@ -326,7 +353,7 @@ class MuxEngine(_LaneEngine):
         self.weight_quant = weight_quant
         self._carry = init_mux_carry(model, params, lanes, seq_len,
                                      multiview=cfg.num_views > 0)
-        super().__init__(lanes, seq_len, cfg.image_size)
+        super().__init__(lanes, seq_len, cfg.image_size, session_ttl_s)
 
     def _device_open(self, carry, lane, cad_image, multiview_images):
         import jax.numpy as jnp
@@ -388,7 +415,7 @@ class ArtifactMuxEngine(_LaneEngine):
     the single-session :class:`ArtifactEngine` instead.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, session_ttl_s: Optional[float] = None):
         from videocad_tpu.infer.export import load_exported
 
         self.exported = load_exported(path)
@@ -401,7 +428,7 @@ class ArtifactMuxEngine(_LaneEngine):
         self._multiview = bool(meta.get("mux_multiview"))
         self._carry = self.exported.mux_init()
         super().__init__(meta["mux_lanes"], meta["bucket_len"],
-                         meta["image_size"])
+                         meta["image_size"], session_ttl_s)
         self._cad_hw = _artifact_cad_shape(self.exported.config, self._img)
 
     def _device_open(self, carry, lane, cad_image, multiview_images):
