@@ -76,17 +76,16 @@ def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
     }))
 
 
-def bench_serve(lanes: int = 8, seq_len: int = 187,
-                weight_quant: str = "none"):
+def _measure_serve(lanes: int, seq_len: int = 187,
+                   weight_quant: str = "none") -> dict:
     """Serving-engine steady state: all lanes active, one multiplexed
     decode step per tick (infer/multiplex.py — the device program behind
     cli/serve's continuous batcher).
 
-    Reports two numbers: pipelined throughput (async dispatch, one sync at
-    the end — what a saturated server achieves) and synchronous per-step
-    latency (fetch the action every step — what one client observes when
-    the batcher fetches results per tick). Run via `python bench.py serve
-    [lanes] [int8|int4]`.
+    Returns pipelined throughput (async dispatch, one sync at the end —
+    what a saturated server achieves) and synchronous per-step latency
+    (fetch the action every step — what one client observes when the
+    batcher fetches results per tick).
     """
     from videocad_tpu.infer.multiplex import (init_mux_carry, mux_decode_step,
                                               open_lane)
@@ -127,16 +126,27 @@ def bench_serve(lanes: int = 8, seq_len: int = 187,
         carry, c, _ = mux_decode_step(model, params, frames, active, carry)
     float(c[0, 0])
     elapsed = time.perf_counter() - t0
+    return {
+        "actions_per_sec": round(lanes * n / elapsed, 2),
+        "pipelined_step_ms": round(elapsed * 1000 / n, 2),
+        "sync_step_ms": round(sync_ms, 2),
+    }
 
+
+def bench_serve(lanes: int = 8, seq_len: int = 187,
+                weight_quant: str = "none"):
+    """One-line serving steady-state report (`python bench.py serve
+    [lanes] [int8|int4]`); see _measure_serve for the methodology."""
+    m = _measure_serve(lanes, seq_len, weight_quant)
     suffix = {"none": "", "int8": "_w8", "int4": "_w4"}[weight_quant]
     print(json.dumps({
         "metric": f"serve_actions_per_sec{suffix}",
-        "value": round(lanes * n / elapsed, 2),
+        "value": m["actions_per_sec"],
         "unit": "actions/s",
         "vs_baseline": None,
         "lanes": lanes,
-        "pipelined_step_ms": round(elapsed * 1000 / n, 2),
-        "sync_step_ms": round(sync_ms, 2),
+        "pipelined_step_ms": m["pipelined_step_ms"],
+        "sync_step_ms": m["sync_step_ms"],
     }))
 
 
@@ -274,16 +284,18 @@ def bench_sweep(out_path: str = "docs/perf_sweep.json",
     docs/PERF.md's envelope table from the JSON — generated, not
     hand-collected. A point that OOMs is recorded as such.
 
-    ``only='rollout'`` keeps the existing train points in ``out_path``
-    and re-measures just the rollout rows (`python bench.py sweep
-    docs/perf_sweep.json rollout`).
+    ``only='rollout'`` / ``only='serve'`` keep the other kinds' existing
+    points in ``out_path`` and re-measure just that section
+    (`python bench.py sweep docs/perf_sweep.json rollout`). The serve
+    section measures the lane-multiplexed serving engine's steady state
+    (8 lanes, bf16 vs w8).
     """
     import os
 
     points = []
-    if only == "rollout" and os.path.exists(out_path):
-        with open(out_path) as f:
-            points = [p for p in json.load(f) if p.get("kind") != "rollout"]
+    if only != "all" and os.path.exists(out_path):
+        with open(out_path) as f:   # keep the other kinds' prior points
+            points = [p for p in json.load(f) if p.get("kind") != only]
 
     def record(point):
         points.append(point)
@@ -297,7 +309,7 @@ def bench_sweep(out_path: str = "docs/perf_sweep.json",
         "block": dict(FLAGSHIP, vit_attention_impl="block",
                       vit_mlp_impl="block"),
     }
-    if only != "rollout":
+    if only == "all":
         for bucket in (48, 96, 144, 192):
             for batch in (8, 16):
                 for mode_name, cfg in modes.items():
@@ -312,18 +324,29 @@ def bench_sweep(out_path: str = "docs/perf_sweep.json",
                                           or "memory" in msg.lower()
                                           else msg[:200])
                     record(point)
-    for batch in (8, 64):
-        for wq in ("none", "int8"):
-            point = {"kind": "rollout", "batch": batch, "bucket": 187,
-                     "weights": "bf16" if wq == "none" else "w8"}
-            try:
-                t0 = time.perf_counter()
-                aps = _measure_rollout(batch, weight_quant=wq)
-                point["actions_per_sec"] = round(aps, 1)
-                point["wall_s"] = round(time.perf_counter() - t0, 1)
-            except Exception as e:
-                point["error"] = str(e)[:200]
-            record(point)
+    if only in ("all", "rollout"):
+        for batch in (8, 64):
+            for wq in ("none", "int8"):
+                point = {"kind": "rollout", "batch": batch, "bucket": 187,
+                         "weights": "bf16" if wq == "none" else "w8"}
+                try:
+                    t0 = time.perf_counter()
+                    aps = _measure_rollout(batch, weight_quant=wq)
+                    point["actions_per_sec"] = round(aps, 1)
+                    point["wall_s"] = round(time.perf_counter() - t0, 1)
+                except Exception as e:
+                    point["error"] = str(e)[:200]
+                record(point)
+    if only in ("all", "serve"):
+        for lanes in (8,):
+            for wq in ("none", "int8"):
+                point = {"kind": "serve", "lanes": lanes,
+                         "weights": "bf16" if wq == "none" else "w8"}
+                try:
+                    point.update(_measure_serve(lanes, weight_quant=wq))
+                except Exception as e:
+                    point["error"] = str(e)[:200]
+                record(point)
     print(json.dumps({"metric": "sweep_points", "value": len(points),
                       "unit": "points", "vs_baseline": None}))
 

@@ -51,6 +51,23 @@ def render(points) -> str:
                      if "actions_per_sec" in p else p.get("error", "—"))
             lines.append(
                 f"| {p['batch']} | {p.get('weights', 'bf16')} | {value} |")
+    serves = [p for p in points if p.get("kind") == "serve"]
+    if serves:
+        lines += ["", "Serving engine steady state (lane-multiplexed "
+                  "continuous batching, all lanes active; pipelined = "
+                  "saturated-server throughput, sync = one client's "
+                  "per-step latency; `python bench.py serve`):", ""]
+        lines += ["| lanes | weights | actions/s | pipelined ms/step | "
+                  "sync ms/step |", "|---|---|---|---|---|"]
+        for p in serves:
+            if "actions_per_sec" in p:
+                lines.append(
+                    f"| {p['lanes']} | {p.get('weights', 'bf16')} | "
+                    f"{p['actions_per_sec']:,.0f} | "
+                    f"{p['pipelined_step_ms']} | {p['sync_step_ms']} |")
+            else:
+                lines.append(f"| {p['lanes']} | {p.get('weights', 'bf16')} "
+                             f"| {p.get('error', '—')} | — | — |")
     return "\n".join(lines)
 
 
