@@ -163,6 +163,48 @@ def test_incremental_decode_under_mesh():
                                np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
 
 
+def test_incremental_step_past_horizon_freezes_carry():
+    """Driving the step past seq_len must NOT clamp the cache write onto
+    the final slot: the carry (t, action, every cache) stays bit-frozen,
+    so an overrunning caller gets garbage logits but no state corruption."""
+    model, params = _build(dict(enable_past_actions=True,
+                                enable_past_states=True, window_size=3))
+    t = 3
+    frames = _frames(1, t + 1, model.config.image_size)
+    cad = _frames(1, 1, model.config.image_size, seed=1)[:, 0]
+    carry = init_decode_carry(model, params, cad, seq_len=t)
+    for i in range(t):
+        carry, _, _ = incremental_decode_step(model, params,
+                                              frames[:, i], carry)
+    before = [np.asarray(leaf)
+              for leaf in jax.tree_util.tree_leaves(carry)]
+    carry, _, _ = incremental_decode_step(model, params, frames[:, t],
+                                          carry)   # one past the horizon
+    after = jax.tree_util.tree_leaves(carry)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    assert int(carry["t"]) == t
+
+
+def test_rollout_weight_quant_requires_action_feedback():
+    """weight_quant on a no-feedback config would silently measure the
+    full-precision forward under a quantized label — it must raise, both
+    live and at export."""
+    from videocad_tpu.infer.export import export_model
+
+    model, params = _build(dict(enable_past_actions=False,
+                                enable_past_states=True))
+    frames = _frames(1, 3, model.config.image_size)
+    cad = _frames(1, 1, model.config.image_size, seed=1)[:, 0]
+    with pytest.raises(ValueError, match="enable_past_actions"):
+        sequential_inference(model, params, frames, cad,
+                             weight_quant="int8")
+    cfg = dict(TINY_CONFIG, enable_past_actions=False)
+    with pytest.raises(ValueError, match="enable_past_actions"):
+        export_model(cfg, params, 1, 4, "/tmp/never_written.vcdx",
+                     weight_quant="int8")
+
+
 def test_incremental_rejects_no_action_feedback():
     model, params = _build(dict(enable_past_actions=False,
                                 enable_past_states=True))

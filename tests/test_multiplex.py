@@ -195,6 +195,28 @@ def test_mux_requires_action_feedback():
         init_mux_carry(model, params, LANES, SEQ_LEN)
 
 
+def test_mux_lane_past_horizon_is_bit_frozen():
+    """A tick for a lane whose t has reached seq_len must leave the lane
+    bit-frozen (the clamped cache write would otherwise corrupt the final
+    slot), while other lanes keep stepping normally."""
+    model, params = _build()
+    size = model.config.image_size
+    mux = _MuxDriver(model, params)
+    mux.open(0, _imgs(1, size, seed=1)[0])
+    mux.open(1, _imgs(1, size, seed=2)[0])
+    for i in range(SEQ_LEN):                     # lane 0 to the horizon
+        mux.tick({0: _imgs(1, size, seed=10 + i)[0]})
+
+    before = _lane_slice(mux.carry, 0)
+    mux.tick({0: _imgs(1, size, seed=30)[0],     # overrun attempt
+              1: _imgs(1, size, seed=31)[0]})    # legitimate step
+    after = _lane_slice(mux.carry, 0)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, a)
+    assert int(mux.carry["t"][0]) == SEQ_LEN
+    assert int(mux.carry["t"][1]) == 1           # lane 1 stepped
+
+
 def test_mux_under_mesh_equals_unsharded():
     """The serving tick runs with the lane axis sharded over the data axis
     of a (data=4, model=2) mesh — per-lane actions match the unsharded mux

@@ -105,6 +105,11 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
 
     model = create_model(config)
     cfg = model.config
+    if weight_quant != "none" and not cfg.enable_past_actions:
+        raise ValueError(
+            f"weight_quant='{weight_quant}' requires action feedback "
+            "(enable_past_actions): this config has no decode loop to "
+            "quantize, so the artifact would be mislabeled")
     t = bucket_len - 1
     img = (cfg.image_size, cfg.image_size, 3)
     frames_spec = jax.ShapeDtypeStruct((batch_size, t) + img, jnp.uint8)

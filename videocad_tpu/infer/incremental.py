@@ -93,9 +93,16 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
     cfg = model.config
     _require_incremental_support(cfg)
     dtype = cfg.compute_dtype
-    t = carry["t"]
     seq_len = carry["self_kv"][0][0].shape[1]
     b = frame.shape[0]
+    # Horizon guard: a step at t >= seq_len would otherwise CLAMP its
+    # dynamic_update_slice writes onto the final cache slot, silently
+    # corrupting step seq_len-1's state for any caller that overruns the
+    # documented loop. Past the horizon the carry is bit-frozen (t, action
+    # and every cache unchanged); the returned logits are garbage by
+    # contract, like an inactive mux lane's.
+    valid = carry["t"] < seq_len
+    t = jnp.minimum(carry["t"], seq_len - 1)
 
     # 1. The new frame's memory slot, appended to every layer's
     #    cross-attention K/V cache (the "memory-KV append").
@@ -119,6 +126,10 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
         v_t = _dense(layer["value"], mem_t).astype(dtype).reshape(
             b, 1, cfg.nhead, -1)
         k_cache, v_cache = carry["mem_kv"][i]
+        k_t = jnp.where(valid, k_t, jax.lax.dynamic_slice(
+            k_cache, (0, t, 0, 0), k_t.shape))
+        v_t = jnp.where(valid, v_t, jax.lax.dynamic_slice(
+            v_cache, (0, t, 0, 0), v_t.shape))
         mem_kv.append((
             jax.lax.dynamic_update_slice(k_cache, k_t, (0, t, 0, 0)),
             jax.lax.dynamic_update_slice(v_cache, v_t, (0, t, 0, 0))))
@@ -133,7 +144,8 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
                         carry["action"].astype(dtype))
                  + ts_emb.astype(dtype))
     hidden, self_kv = decode_step(scan_params, cfg, x, t, carry["self_kv"],
-                                  mem_kv, cfg.window_size, seq_len)
+                                  mem_kv, cfg.window_size, seq_len,
+                                  write_valid=valid)
     hidden = hidden.astype(jnp.float32)
     cmd_logits = _dense(params["predict_cmd"], hidden)
     param_logits = _dense(params["predict_params"], hidden).reshape(
@@ -147,6 +159,8 @@ def incremental_decode_step(model: VideoCADFormer, params: Dict,
         [cmd_pred[:, None], masked], axis=-1).astype(jnp.float32)
     next_action = normalize_actions(next_action)
 
-    new_carry = dict(carry, t=t + 1, action=next_action,
+    new_carry = dict(carry,
+                     t=jnp.where(valid, carry["t"] + 1, carry["t"]),
+                     action=jnp.where(valid, next_action, carry["action"]),
                      self_kv=self_kv, mem_kv=mem_kv)
     return new_carry, cmd_logits, param_logits

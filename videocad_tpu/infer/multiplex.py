@@ -85,7 +85,14 @@ def _mux_decoder_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
                       self_kv, mem_kv, window: int, seq_len: int):
     """The decoder-stack step of infer/rollout.decode_step with per-lane
     positions: x (L, hidden), t (L,) int32.  Same math, same dtype flow;
-    masks and cache writes are vectorized over the lane axis."""
+    masks and cache writes are vectorized over the lane axis.
+
+    MAINTENANCE: this deliberately mirrors rollout.decode_step line for
+    line (vmapping decode_step over the lane axis would remove the fork,
+    but changes the compiled serving program — a rewrite to measure on
+    TPU, not land blind). Until then, any change to decode_step's math
+    (new quant key, norm placement) MUST be applied here too; the
+    lane-equality tests in tests/test_multiplex.py catch a missed sync."""
     num_heads = cfg.nhead
     positions = jnp.arange(seq_len)
     self_mask = positions[None, :] <= t[:, None]                  # (L, S)
@@ -220,7 +227,10 @@ def mux_decode_step(model: VideoCADFormer, params: Dict,
     t = carry["t"]
     seq_len = carry["self_kv"][0][0].shape[1]
     lanes = frames.shape[0]
-    active = active & carry["active"]
+    # Horizon guard: a lane stepped at t >= seq_len must stay bit-frozen
+    # (every state write below is gated on ``active``) rather than let the
+    # clamped cache write corrupt its final slot.
+    active = active & carry["active"] & (t < seq_len)
 
     # 1. The new frame's memory slot at each lane's own position.
     mem_t = model.apply({"params": params}, frames, t, carry["cad_stream"],

@@ -208,7 +208,8 @@ def precompute_memory_kv(params: Dict, memory: jnp.ndarray, num_layers: int,
 
 
 def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
-                self_kv: Tuple, mem_kv, window: int, seq_len: int):
+                self_kv: Tuple, mem_kv, window: int, seq_len: int,
+                write_valid=None):
     """One decoder-stack step at position ``t``.
 
     x: (B, hidden) target embedding for this step; self_kv: per-layer
@@ -219,6 +220,16 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
     is no need to stream the full (B, S, H, D) memory per step — at the
     flagship shapes the full-memory reads were ~98 MB/step of the decode
     loop's HBM traffic for a window of 10 valid columns.
+
+    ``write_valid`` (scalar bool, optional): when False, the self-KV slot
+    at ``t`` keeps its existing value — the horizon guard for incremental
+    callers whose ``t`` may reach seq_len (a clamped write would corrupt
+    the final slot). None (the rollout scan, whose t < seq_len always)
+    costs nothing.
+
+    MAINTENANCE: infer/multiplex._mux_decoder_step mirrors this body with
+    a lane axis; apply any math change there too (its docstring explains
+    why the fork exists; tests/test_multiplex.py pins the equality).
     """
     num_heads = cfg.nhead
     positions = jnp.arange(seq_len)
@@ -246,10 +257,14 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
             k_t = _heads_split(_dense(sa["key"], x), num_heads)
             v_t = _heads_split(_dense(sa["value"], x), num_heads)
         k_cache, v_cache = self_kv[i]
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_t[:, None], (0, t, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_t[:, None], (0, t, 0, 0))
+        k_new, v_new = k_t[:, None], v_t[:, None]
+        if write_valid is not None:
+            k_new = jnp.where(write_valid, k_new, jax.lax.dynamic_slice(
+                k_cache, (0, t, 0, 0), k_new.shape))
+            v_new = jnp.where(write_valid, v_new, jax.lax.dynamic_slice(
+                v_cache, (0, t, 0, 0), v_new.shape))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, t, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, t, 0, 0))
         new_kv.append((k_cache, v_cache))
 
         ctx = _masked_attend(q, k_cache, v_cache, self_mask)
@@ -272,14 +287,6 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
                  use_actions: bool, seq_len: int, weight_quant: str = "none",
                  multiview_images=None):
     cfg = model.config
-    dtype = cfg.compute_dtype
-
-    # Encode frames + CAD (+ views) once — the O(T^2) frame re-encode in the
-    # reference collapses to this single pass.
-    memory, ui_emb = model.apply(
-        {"params": params},
-        cad_image, frames, multiview_images, seq_len, True,
-        method=VideoCADFormer.encode_context)
 
     if not cfg.enable_past_actions:
         # Without action feedback the rollout has no sequential dependency:
@@ -291,6 +298,15 @@ def _rollout_jit(model: VideoCADFormer, params: Dict, frames, cad_image,
         if multiview_images is not None:
             inputs["multiview_images"] = multiview_images
         return model.apply({"params": params}, inputs, deterministic=True)
+
+    # Encode frames + CAD (+ views) once — the O(T^2) frame re-encode in the
+    # reference collapses to this single pass. (After the early return: the
+    # one-pass branch re-encodes inside model.apply, so tracing this there
+    # would only inflate the HLO with dead code.)
+    memory, _ui_emb = model.apply(
+        {"params": params},
+        cad_image, frames, multiview_images, seq_len, True,
+        method=VideoCADFormer.encode_context)
 
     # dtype flow mirrors the teacher-forced forward: the decoder stack and
     # embeddings compute in cfg.compute_dtype (flax Dense dtype), LayerNorm
@@ -403,6 +419,13 @@ def sequential_inference(model: VideoCADFormer, params: Dict,
     full-precision). 'int4' (w4a16) halves that stream again — XLA packs
     s4 two-per-byte in TPU HBM — with coarser 4-bit rounding.
     """
+    if weight_quant != "none" and not model.config.enable_past_actions:
+        raise ValueError(
+            f"weight_quant='{weight_quant}' requires action feedback "
+            "(enable_past_actions): without it the rollout is a single "
+            "full-precision forward and the quantized decode loop never "
+            "runs — a quantized metric/artifact for this config would be "
+            "mislabeled")
     seq_len = frames.shape[1]
     return _rollout_jit(model, params, frames, cad_image, action, seq_len,
                         weight_quant, multiview_images)
