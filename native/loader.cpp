@@ -193,8 +193,14 @@ class Loader {
         return stopping_ || pending_.count(emitted_) > 0;
       });
       if (stopping_) return 0;
-      batch = std::move(pending_[emitted_]);
-      pending_.erase(emitted_);
+      const int id = emitted_;
+      batch = std::move(pending_[id]);
+      pending_.erase(id);
+      // Advance under the lock, BEFORE the notify: workers read emitted_
+      // in their cv predicate (an unlocked increment would race it), and
+      // a pre-increment notify would wake them on the stale bound,
+      // shrinking the effective prefetch window by one cycle.
+      ++emitted_;
       cv_.notify_all();
     }
     std::memcpy(frames_out, batch.frames.get(), batch.frames_size);
@@ -206,7 +212,6 @@ class Loader {
     }
     std::memcpy(indices_out, batch.indices.data(),
                 batch.indices.size() * sizeof(int32_t));
-    ++emitted_;
     if (emitted_ >= total) stop();
     return 1;
   }
@@ -267,10 +272,9 @@ class Loader {
         std::memset(frames_dst, 0, row);
         std::memset(cad_dst, 0, img);
         if (views_dst != nullptr) std::memset(views_dst, 0, views_row);
-        for (size_t i = 0; i < static_cast<size_t>(bucket_len_) * act_dim_;
-             ++i) {
-          actions_dst[i] = -1.0f;
-        }
+        // actions_dst needs no rewrite: read_vcb_into writes actions only
+        // after every read succeeded, and the whole actions buffer was
+        // pre-filled with -1 (fully masked in the loss).
         skipped_rows_.fetch_add(1);
         std::fprintf(stderr,
                      "[vcb_loader] skipping corrupt/mismatched row: %s\n",

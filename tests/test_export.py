@@ -57,6 +57,76 @@ def test_export_roundtrip_forward_and_rollout(tmp_path):
         np.asarray(jnp.argmax(live_roll[0], -1)))
 
 
+def test_multiview_export_carries_views_in_every_program(tmp_path):
+    """A num_views config's forward/rollout/decode_init must consume the
+    view stack (encode_cad_stream silently skips views when handed None,
+    so a view-less export would serve predictions that diverge from
+    training-time eval). Checks: artifact == live model WITH views,
+    artifact(view A) != artifact(view B), and missing/stray views raise."""
+    import pytest
+
+    config = dict(TINY_CONFIG, num_views=2)
+    model = create_model(config)
+    params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out = os.path.join(str(tmp_path), "tiny_mv.vcdx")
+    meta = export_model(config, params, 1, 4, out)
+    assert meta["multiview"] and meta["num_views"] == 2
+    loaded = load_exported(out)
+
+    data = synthetic_batch_feed(1, 4, image_size=32, channels=3, seed=0)
+    frames = jnp.asarray(data["frames"])
+    actions = jnp.asarray(data["actions"], jnp.float32)
+    cad = jnp.asarray(data["cad_image"])
+    rng = np.random.default_rng(7)
+    mv = jnp.asarray(rng.integers(0, 256, (1, 2, 32, 32, 3), np.uint8))
+    mv2 = jnp.asarray(rng.integers(0, 256, (1, 2, 32, 32, 3), np.uint8))
+
+    live = model.apply(
+        {"params": params},
+        {"frames": frames[:, :-1], "actions": actions[:, :-1],
+         "cad_image": cad, "multiview_images": mv},
+        deterministic=True)
+    got = loaded.forward(frames[:, :-1], actions[:, :-1], cad, mv)
+    for a, b in zip(got, live):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    # the views are load-bearing: different views, different logits
+    other = loaded.forward(frames[:, :-1], actions[:, :-1], cad, mv2)
+    assert not np.allclose(np.asarray(got[0]), np.asarray(other[0]))
+
+    live_roll = sequential_inference(model, params, frames, cad,
+                                     multiview_images=mv)
+    exp_roll = loaded.rollout(frames, cad, mv)
+    for a, b in zip(exp_roll, live_roll):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    # decode pair consumes views too, equal to the batch rollout
+    carry = loaded.decode_init(cad, mv)
+    step_cmds = []
+    for i in range(4):
+        carry, cmd_logits, _ = loaded.decode_step(frames[:, i], carry)
+        step_cmds.append(cmd_logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(step_cmds, 1)),
+                               np.asarray(live_roll[0]),
+                               atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="multiview_images is required"):
+        loaded.forward(frames[:, :-1], actions[:, :-1], cad)
+    with pytest.raises(ValueError, match="multiview_images is required"):
+        loaded.decode_init(cad)
+
+    # stray views on a non-multiview artifact must also fail loudly
+    config0 = dict(TINY_CONFIG)
+    model0 = create_model(config0)
+    params0 = init_model(model0, jax.random.PRNGKey(0), batch=1, seq_len=2)
+    out0 = os.path.join(str(tmp_path), "tiny_plain.vcdx")
+    export_model(config0, params0, 1, 4, out0)
+    with pytest.raises(ValueError, match="without multiview"):
+        load_exported(out0).forward(frames[:, :-1], actions[:, :-1],
+                                    cad, mv)
+
+
 def test_artifact_layout_and_config(tmp_path):
     config, _, _, out, _ = _artifact(tmp_path)
     with zipfile.ZipFile(out) as zf:

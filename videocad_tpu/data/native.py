@@ -27,13 +27,24 @@ _lib = None
 
 
 def build_library(force: bool = False) -> str:
-    """Compile native/loader.cpp into a shared library (cached by mtime)."""
+    """Compile native/loader.cpp into a shared library (cached by mtime).
+
+    The compile lands in a per-PID temp file then renames into place:
+    on a multi-host pod every process races to build the same .so on a
+    shared filesystem, and a third process must never dlopen a
+    half-written file (rename is atomic on POSIX)."""
     if (not force and os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+           _SRC, "-o", tmp]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native loader compile failed ({' '.join(cmd)}):\n"
+            f"{proc.stderr}")
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -84,6 +95,11 @@ def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
     actions = np.ascontiguousarray(actions, dtype=np.int32)
     t, h, w, c = frames.shape
     assert cad.shape == (h, w, c), (cad.shape, frames.shape)
+    if actions.ndim != 2 or actions.shape[0] != t:
+        # The native writer fwrites t*act_dim int32s from this pointer —
+        # a shorter array would be a heap over-read.
+        raise ValueError(f"actions must be (T={t}, act_dim); "
+                         f"got {actions.shape}")
     num_views = 0
     views_ptr = ctypes.POINTER(ctypes.c_uint8)()
     if views is not None:
@@ -173,6 +189,11 @@ class NativePipeline:
         and counted; more than this many per epoch raises."""
         if not paths:
             raise ValueError("no .vcb files given")
+        if batch_size < 1 or bucket_len < 1:
+            # batch_size=0 would SIGFPE in the C++ num_batches() division;
+            # fail with a traceback instead of killing the process.
+            raise ValueError(f"batch_size and bucket_len must be >= 1, got "
+                             f"{batch_size}, {bucket_len}")
         if not 0 <= host_id < num_hosts:
             raise ValueError(
                 f"host_id {host_id} out of range [0, {num_hosts}): a "
@@ -203,11 +224,17 @@ class NativePipeline:
         self.lib.vcb_loader_start_epoch(self._handle, epoch, self.seed,
                                         int(self.shuffle))
         b, l, v = self.batch_size, self.bucket_len, self.num_views
+        if v == 0 and not hasattr(self, "_dummy_views"):
+            # next() never writes the views pointer when num_views == 0;
+            # one persistent dummy avoids ~MBs of np.empty churn per batch.
+            self._dummy_views = np.empty((b, 1, self.h, self.w, self.c),
+                                         np.uint8)
         while True:
             frames = np.empty((b, l, self.h, self.w, self.c), np.uint8)
             actions = np.empty((b, l, self.act_dim), np.float32)
             cad = np.empty((b, self.h, self.w, self.c), np.uint8)
-            views = np.empty((b, max(v, 1), self.h, self.w, self.c), np.uint8)
+            views = (np.empty((b, v, self.h, self.w, self.c), np.uint8)
+                     if v > 0 else self._dummy_views)
             indices = np.empty((b,), np.int32)
             ok = self.lib.vcb_loader_next(
                 self._handle,

@@ -51,9 +51,20 @@ def _flatten_params(params: Dict) -> Dict[str, np.ndarray]:
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     out = {}
     for path, leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path)
-        out[key] = np.asarray(leaf)
+        parts = []
+        for p in path:
+            # The npz key format round-trips nested STRING-KEYED dicts
+            # only (flax param trees). A list/tuple node or a '/' in a key
+            # would unflatten into a different pytree structure and fail
+            # deep inside .call — reject it here with the reason instead.
+            key = getattr(p, "key", None)
+            if not isinstance(key, str) or "/" in key:
+                raise ValueError(
+                    "params.npz serialization supports nested dicts with "
+                    f"'/'-free string keys only; got path element {p!r} "
+                    f"in {jax.tree_util.keystr(path)}")
+            parts.append(key)
+        out["/".join(parts)] = np.asarray(leaf)
     return out
 
 
@@ -105,6 +116,9 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
 
     model = create_model(config)
     cfg = model.config
+    if weight_quant not in ("none", "int8", "int4"):
+        raise ValueError(f"unknown weight_quant '{weight_quant}' "
+                         "(expected 'none', 'int8' or 'int4')")
     if weight_quant != "none" and not cfg.enable_past_actions:
         raise ValueError(
             f"weight_quant='{weight_quant}' requires action feedback "
@@ -119,26 +133,54 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
                                         jnp.float32)
     params_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    # Multiview models take the view stack in EVERY exported program —
+    # encode_cad_stream silently skips views when handed None, so leaving
+    # multiview out of forward/rollout/decode_init would export programs
+    # whose predictions diverge from training-time eval (and from the mux
+    # trio in the same artifact).
+    multiview = cfg.num_views > 0
+    mv_batch_spec = (jax.ShapeDtypeStruct(
+        (batch_size, cfg.num_views) + img, jnp.uint8) if multiview else None)
 
-    def forward(p, frames, actions, cad_image):
-        inputs = {"frames": frames, "actions": actions,
-                  "cad_image": cad_image}
-        return model.apply({"params": p}, inputs, deterministic=True)
+    if multiview:
+        def forward(p, frames, actions, cad_image, multiview_images):
+            inputs = {"frames": frames, "actions": actions,
+                      "cad_image": cad_image,
+                      "multiview_images": multiview_images}
+            return model.apply({"params": p}, inputs, deterministic=True)
 
-    fwd_exp = jax_export.export(jax.jit(forward))(
-        params_spec, frames_spec, actions_spec, cad_spec)
+        fwd_exp = jax_export.export(jax.jit(forward))(
+            params_spec, frames_spec, actions_spec, cad_spec, mv_batch_spec)
+    else:
+        def forward(p, frames, actions, cad_image):
+            inputs = {"frames": frames, "actions": actions,
+                      "cad_image": cad_image}
+            return model.apply({"params": p}, inputs, deterministic=True)
+
+        fwd_exp = jax_export.export(jax.jit(forward))(
+            params_spec, frames_spec, actions_spec, cad_spec)
 
     roll_exp = None
     if with_rollout:
         roll_frames = jax.ShapeDtypeStruct((batch_size, bucket_len) + img,
                                            jnp.uint8)
 
-        def rollout(p, frames, cad_image):
-            return sequential_inference(model, p, frames, cad_image,
-                                        weight_quant=weight_quant)
+        if multiview:
+            def rollout(p, frames, cad_image, multiview_images):
+                return sequential_inference(
+                    model, p, frames, cad_image,
+                    multiview_images=multiview_images,
+                    weight_quant=weight_quant)
 
-        roll_exp = jax_export.export(jax.jit(rollout))(
-            params_spec, roll_frames, cad_spec)
+            roll_exp = jax_export.export(jax.jit(rollout))(
+                params_spec, roll_frames, cad_spec, mv_batch_spec)
+        else:
+            def rollout(p, frames, cad_image):
+                return sequential_inference(model, p, frames, cad_image,
+                                            weight_quant=weight_quant)
+
+            roll_exp = jax_export.export(jax.jit(rollout))(
+                params_spec, roll_frames, cad_spec)
 
     # Incremental serving pair (frame-at-a-time decode; models with action
     # feedback only — the others are a single forward).
@@ -164,16 +206,26 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         quant_exp = jax_export.export(jax.jit(prepare))(params_spec)
         session_spec = jax.eval_shape(prepare, params_spec)
 
-        def decode_init(p, cad_image):
-            return init_decode_carry(model, p, cad_image, bucket_len)
-
         def decode_step(p, frame, carry):
             return incremental_decode_step(model, p, frame, carry)
 
         frame_spec = jax.ShapeDtypeStruct((batch_size,) + img, jnp.uint8)
-        carry_spec = jax.eval_shape(decode_init, session_spec, cad_spec)
-        init_exp = jax_export.export(jax.jit(decode_init))(
-            session_spec, cad_spec)
+        if multiview:
+            def decode_init(p, cad_image, multiview_images):
+                return init_decode_carry(model, p, cad_image, bucket_len,
+                                         multiview_images=multiview_images)
+
+            carry_spec = jax.eval_shape(decode_init, session_spec, cad_spec,
+                                        mv_batch_spec)
+            init_exp = jax_export.export(jax.jit(decode_init))(
+                session_spec, cad_spec, mv_batch_spec)
+        else:
+            def decode_init(p, cad_image):
+                return init_decode_carry(model, p, cad_image, bucket_len)
+
+            carry_spec = jax.eval_shape(decode_init, session_spec, cad_spec)
+            init_exp = jax_export.export(jax.jit(decode_init))(
+                session_spec, cad_spec)
         step_exp = jax_export.export(jax.jit(decode_step))(
             session_spec, frame_spec, carry_spec)
 
@@ -186,7 +238,6 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         from videocad_tpu.infer.multiplex import (init_mux_carry,
                                                   mux_decode_step, open_lane)
 
-        multiview = cfg.num_views > 0
         # The mux carry is all-zeros by construction — export a no-input
         # allocator from its eval_shape rather than tracing the host-side
         # init_mux_carry (which only needs shapes anyway).
@@ -237,8 +288,10 @@ def export_model(config: Dict[str, Any], params: Dict, batch_size: int,
         "has_rollout": with_rollout,
         "has_decode": step_exp is not None,
         "weight_quant": weight_quant,
+        "multiview": multiview,
+        "num_views": cfg.num_views,
         "mux_lanes": lanes if mux_step_exp is not None else 0,
-        "mux_multiview": bool(lanes and cfg.num_views > 0),
+        "mux_multiview": bool(lanes and multiview),
     }
     flat = _flatten_params(params)
     buf = io.BytesIO()
@@ -297,23 +350,44 @@ class ExportedModel:
                 self._session_params = self.params
         return self._session_params
 
-    def forward(self, frames, actions, cad_image) -> Tuple:
-        """Teacher-forced forward: (cmd logits, param logits)."""
-        return self._forward.call(self.params, frames, actions, cad_image)
+    def _mv_args(self, multiview_images, flag="multiview") -> Tuple:
+        """Arity guard for the optional multiview input: multiview
+        artifacts REQUIRE it (their programs were traced with the view
+        stack), others must not receive one — both misuses fail here with
+        the reason instead of a cryptic pytree arity error from .call."""
+        if self.meta.get(flag):
+            if multiview_images is None:
+                raise ValueError(
+                    "this artifact was exported for a multiview model "
+                    f"(num_views={self.meta.get('num_views')}); "
+                    "multiview_images is required")
+            return (multiview_images,)
+        if multiview_images is not None:
+            raise ValueError("artifact was exported without multiview "
+                             "inputs; do not pass multiview_images")
+        return ()
 
-    def rollout(self, frames, cad_image) -> Tuple:
+    def forward(self, frames, actions, cad_image,
+                multiview_images=None) -> Tuple:
+        """Teacher-forced forward: (cmd logits, param logits)."""
+        return self._forward.call(self.params, frames, actions, cad_image,
+                                  *self._mv_args(multiview_images))
+
+    def rollout(self, frames, cad_image, multiview_images=None) -> Tuple:
         """Autoregressive 186-step rollout over ground-truth frames."""
         if self._rollout is None:
             raise ValueError("artifact was exported without a rollout")
-        return self._rollout.call(self.params, frames, cad_image)
+        return self._rollout.call(self.params, frames, cad_image,
+                                  *self._mv_args(multiview_images))
 
-    def decode_init(self, cad_image):
+    def decode_init(self, cad_image, multiview_images=None):
         """Start a serving session: CAD image -> decode carry."""
         if self._decode_init is None:
             raise ValueError(
                 "artifact has no incremental decode (exported from a model "
                 "without action feedback, or a pre-v2 artifact)")
-        return self._decode_init.call(self._decode_params(), cad_image)
+        return self._decode_init.call(self._decode_params(), cad_image,
+                                      *self._mv_args(multiview_images))
 
     def decode_step(self, frame, carry) -> Tuple:
         """One serving step: the newly observed frame + carry ->
@@ -341,11 +415,9 @@ class ExportedModel:
         """Claim ``lane`` for a new session (batch-1 CAD context encode);
         other lanes' state is untouched."""
         self._require_mux()
-        if self.meta.get("mux_multiview"):
-            return self._mux_open.call(self._decode_params(), carry, lane,
-                                       cad_image, multiview_images)
-        return self._mux_open.call(self._decode_params(), carry, lane,
-                                   cad_image)
+        return self._mux_open.call(
+            self._decode_params(), carry, lane, cad_image,
+            *self._mv_args(multiview_images, flag="mux_multiview"))
 
     def mux_step(self, frames, active, carry) -> Tuple:
         """One multiplexed tick: per-lane frames (L,H,W,C u8) + active

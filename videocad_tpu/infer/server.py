@@ -499,22 +499,41 @@ class ArtifactEngine:
 
     def open_session(self, cad_image: np.ndarray,
                      multiview_images=None) -> Tuple[str, int]:
-        if multiview_images is not None:
-            raise SessionError(400, "artifact decode programs take the CAD "
-                                    "image only")
         cad = np.asarray(cad_image)
         if cad.shape == self._cad_hw:    # single image -> artifact batch
             cad = np.broadcast_to(cad, (self.batch,) + self._cad_hw)
         if cad.shape != (self.batch,) + self._cad_hw:
             raise SessionError(400, f"cad_image must be {self._cad_hw} or "
                                     f"{(self.batch,) + self._cad_hw}")
+        mv = None
+        if self.exported.meta.get("multiview"):
+            nv = self.exported.meta["num_views"]
+            mv_hw = (nv,) + self._img
+            if multiview_images is None:
+                raise SessionError(
+                    400, f"this artifact serves a multiview model: "
+                         f"multiview_images (uint8 {mv_hw}) is required")
+            mv = np.asarray(multiview_images)
+            if mv.shape == mv_hw:
+                mv = np.broadcast_to(mv, (self.batch,) + mv_hw)
+            if mv.shape != (self.batch,) + mv_hw or mv.dtype != np.uint8:
+                raise SessionError(
+                    400, f"multiview_images must be uint8 {mv_hw} or "
+                         f"{(self.batch,) + mv_hw}, got {mv.dtype} "
+                         f"{mv.shape}")
+        elif multiview_images is not None:
+            raise SessionError(400, "artifact was exported without "
+                                    "multiview inputs")
         with self._lock:
             if self._session is not None:
                 raise SessionError(
                     503, "artifact engine serves one session at a time "
                          "(batch-lockstep decode); close the active "
                          "session or serve a MuxEngine")
-            carry = self.exported.decode_init(cad.astype(np.uint8))
+            carry = (self.exported.decode_init(cad.astype(np.uint8),
+                                               np.ascontiguousarray(mv))
+                     if mv is not None
+                     else self.exported.decode_init(cad.astype(np.uint8)))
             sid = uuid.uuid4().hex[:12]
             self._session = {"id": sid, "carry": carry, "t": 0}
             self._stats["sessions_opened"] += 1
