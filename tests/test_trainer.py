@@ -64,6 +64,19 @@ def test_train_loop_and_metrics_logging(env):
     assert "cmd_accuracy" in metrics and "param_accuracy_3" in metrics
 
 
+def test_latest_epoch_ignores_orbax_tmp_litter(tmp_path):
+    """A preempted run leaves 'epoch_N.orbax-checkpoint-tmp-*' dirs next
+    to finalized checkpoints; resume must neither crash on the int parse
+    nor pick the incomplete dir over a finalized one."""
+    from videocad_tpu.train.checkpoint import CheckpointHandler
+
+    handler = CheckpointHandler("exp", str(tmp_path))
+    for d in ("epoch_1", "epoch_2",
+              "epoch_5.orbax-checkpoint-tmp-171234", "epoch_final"):
+        os.makedirs(os.path.join(handler.base, d))
+    assert handler.latest_epoch() == "epoch_2"
+
+
 def test_checkpoint_save_and_resume(env):
     trainer = _make_trainer(env, "run2")
     trainer.train(epochs=2)  # save_frequency=2 -> epoch_2 checkpoint

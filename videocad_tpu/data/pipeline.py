@@ -118,7 +118,7 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], mesh=None,
     Strings ('ids') stay on host. With a mesh, arrays shard along 'data'.
     """
     import jax
-    from videocad_tpu.parallel.mesh import batch_sharding
+    from videocad_tpu.parallel.mesh import batch_sharding, put_local_shard
 
     sharding = batch_sharding(mesh) if mesh is not None else None
 
@@ -126,8 +126,10 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], mesh=None,
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = (jax.device_put(v, sharding) if sharding is not None
-                          else jax.device_put(v))
+                # put_local_shard assembles the global batch from each
+                # process's distinct rows on multi-host meshes.
+                out[k] = (put_local_shard(v, sharding)
+                          if sharding is not None else jax.device_put(v))
             else:
                 out[k] = v
         return out

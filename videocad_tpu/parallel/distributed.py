@@ -26,10 +26,20 @@ def initialize(coordinator_address: Optional[str] = None,
     configured = (coordinator_address
                   or os.environ.get("JAX_COORDINATOR_ADDRESS")
                   or os.environ.get("COORDINATOR_ADDRESS"))
-    if not configured and num_processes is None:
+    # A real pod launch is visible via the TPU worker list even when no
+    # coordinator address is exported — jax.distributed.initialize() with
+    # no args auto-detects it. Detect it here rather than skipping the
+    # call: without the distributed client, Orbax's cross-process commit
+    # (train/checkpoint.py) hangs on a pod.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multiworker = len([h for h in hostnames.split(",") if h.strip()]) > 1
+    if not configured and num_processes is None and not multiworker:
         return jax.process_count() > 1
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError:   # already initialized (idempotent callers)
+        pass
     return True

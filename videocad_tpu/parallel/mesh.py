@@ -75,8 +75,21 @@ def create_hybrid_mesh(dcn: int, data: Optional[int] = None, model: int = 1,
     if len(slice_ids) > 1 and None not in slice_ids:
         assert len(slice_ids) == dcn, (
             f"{len(slice_ids)} slices visible but dcn={dcn}")
-        devices.sort(key=lambda d: (d.slice_index, d.id))
-    grid = np.asarray(devices[:need]).reshape(dcn, data, model)
+        # Each dcn row must be one slice: take data*model chips FROM EACH
+        # slice (a flat devices[:need] would pack multiple dcn rows into
+        # the first slice, putting "cross-slice" reductions on ICI links
+        # that don't exist and idling later slices entirely).
+        per_slice = data * model
+        rows = []
+        for sid in sorted(slice_ids):
+            ds = sorted((d for d in devices if d.slice_index == sid),
+                        key=lambda d: d.id)
+            assert len(ds) >= per_slice, (
+                f"slice {sid} has {len(ds)} chips, need {per_slice}")
+            rows.append(np.asarray(ds[:per_slice]).reshape(data, model))
+        grid = np.stack(rows)
+    else:
+        grid = np.asarray(devices[:need]).reshape(dcn, data, model)
     return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
@@ -92,8 +105,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_local_shard(x, sharding: NamedSharding):
+    """Place one host-local array under a global sharding.
+
+    On a multi-process mesh the hosts hold DIFFERENT rows of the global
+    batch (the loader shards by host), so the global array must be
+    assembled from the per-process pieces — ``jax.device_put`` would
+    instead treat every host's local batch as the same replicated value,
+    silently training on 1/num_hosts of the data. Single-process keeps
+    the cheap device_put path."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch onto the mesh, sharded along the batch dim."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x: put_local_shard(x, sharding), batch)

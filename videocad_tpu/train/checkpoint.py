@@ -68,10 +68,19 @@ class CheckpointHandler:
         return state, meta
 
     def latest_epoch(self) -> Optional[str]:
-        epochs = [d for d in os.listdir(self.base) if d.startswith("epoch_")]
+        # Accept only fully-finalized 'epoch_<N>' dirs: a preempted run
+        # leaves 'epoch_N.orbax-checkpoint-tmp-*' litter beside them,
+        # which must neither crash the int() parse nor win the max.
+        epochs = []
+        for d in os.listdir(self.base):
+            if not d.startswith("epoch_"):
+                continue
+            suffix = d.split("_", 1)[1]
+            if suffix.isdigit():
+                epochs.append((int(suffix), d))
         if not epochs:
             return None
-        return max(epochs, key=lambda d: int(d.split("_")[1]))
+        return max(epochs)[1]
 
     def wait(self):
         self._ckptr.wait_until_finished()

@@ -27,6 +27,11 @@ def add_action_noise(actions: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     Applied to the raw batch actions, so both the teacher-forced inputs and
     the targets see the noise — matching the reference.
     """
+    # Deliberately UNCLAMPED, like the reference: a boundary value can
+    # jitter to -1 (the pad sentinel — that step silently drops from the
+    # loss) or past the top bin (999 + 2 = 1001, outside the vocab). Both
+    # are rare one-in-a-thousand edges the reference trains through;
+    # clamping would change gradients vs parity.
     r1, r2 = jax.random.split(rng)
     cmd = actions[..., 0:1]
     xy_noise = jax.random.randint(r1, actions[..., 1:3].shape, -2, 3)

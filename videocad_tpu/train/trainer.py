@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from videocad_tpu.actions.ops import apply_action_mask, normalize_actions
+from videocad_tpu.actions.ops import apply_action_mask
 from videocad_tpu.infer.rollout import sequential_inference
 from videocad_tpu.train.checkpoint import CheckpointHandler
 from videocad_tpu.train.metrics import init_metrics, update_metrics
@@ -34,8 +34,6 @@ from videocad_tpu.train.objective import LossConfig, compute_loss_and_metrics
 from videocad_tpu.train.state import create_sharded_train_state, create_train_state
 from videocad_tpu.train.steps import make_eval_step, make_train_step
 from videocad_tpu.parallel.mesh import shard_batch
-
-TOLERANCE = 3
 
 
 def _array_batch(batch: Dict) -> Dict:
@@ -362,7 +360,8 @@ class Trainer:
                 [cmd_pred[..., None], param_pred], axis=-1))
             actions = np.asarray(device_batch["actions"])
             cad_images = np.asarray(batch["cad_image"])
-            ids = batch.get("ids", [str(i) for i in range(pred.shape[0])])
+            ids = batch.get("ids",
+                            [str(count + i) for i in range(pred.shape[0])])
             for i, sample_id in enumerate(ids):
                 self._save_cad_png(cad_images[i],
                                    os.path.join(folder,
