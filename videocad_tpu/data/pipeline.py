@@ -125,7 +125,11 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], mesh=None,
     def put(batch):
         out = {}
         for k, v in batch.items():
-            if isinstance(v, np.ndarray):
+            # jax.Array is accepted defensively: a caller that already
+            # converted (e.g. via jnp.asarray) must still go through
+            # put_local_shard on multi-host meshes, not slip past the
+            # isinstance check as a host-local device array.
+            if isinstance(v, (np.ndarray, jax.Array)):
                 # put_local_shard assembles the global batch from each
                 # process's distinct rows on multi-host meshes.
                 out[k] = (put_local_shard(v, sharding)

@@ -35,11 +35,19 @@ def initialize(coordinator_address: Optional[str] = None,
     multiworker = len([h for h in hostnames.split(",") if h.strip()]) > 1
     if not configured and num_processes is None and not multiworker:
         return jax.process_count() > 1
+    already = getattr(getattr(jax.distributed, "global_state", None),
+                      "client", None) is not None
+    if already:   # idempotent callers: the distributed client is live
+        return True
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except RuntimeError:   # already initialized (idempotent callers)
-        pass
+    except RuntimeError as e:
+        # Swallow ONLY double-initialization; anything else (unreachable
+        # coordinator, connect timeout, bad topology) must fail loudly at
+        # startup rather than resurface as an Orbax commit hang mid-run.
+        if "already initialized" not in str(e).lower():
+            raise
     return True

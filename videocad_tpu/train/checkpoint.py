@@ -40,6 +40,14 @@ class CheckpointHandler:
 
     def save(self, state: TrainState, epoch: int, loss: float,
              is_best: bool = False, name: Optional[str] = None):
+        """Save a checkpoint.
+
+        ``name`` may be arbitrary, but ``latest_epoch()`` (and thus
+        ``Trainer.resume`` with no explicit name) only considers
+        ``epoch_<N>`` directories with a purely numeric suffix — a custom
+        name like ``epoch_final`` is restorable solely by passing that
+        name to ``restore``/``resume`` explicitly.
+        """
         name = name or ("best_model" if is_best else f"epoch_{epoch + 1}")
         path = self._path(name)
         # Every process participates: Orbax writes each process's

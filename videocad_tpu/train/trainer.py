@@ -41,6 +41,19 @@ def _array_batch(batch: Dict) -> Dict:
             if isinstance(v, (np.ndarray, jnp.ndarray))}
 
 
+def _numpy_batch(batch: Dict) -> Dict:
+    """Array-only view of a host batch, kept as numpy.
+
+    The training hot loop hands batches to ``device_prefetch``, which owns
+    device placement (``put_local_shard`` on multi-host meshes). Converting
+    to jax arrays here would commit each host's DISTINCT local batch to its
+    local devices and bypass the global-batch assembly — the silent
+    local-as-global bug on pods — so the conversion must stay numpy-side.
+    """
+    return {k: np.asarray(v) for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))}
+
+
 class MetricsLogger:
     """JSON snapshots under logs/<experiment>/ (reference layout)."""
 
@@ -222,8 +235,11 @@ class Trainer:
             os.makedirs(trace_dir, exist_ok=True)
 
         def host_batches():
+            # Yield numpy (NOT jax) batches: device placement belongs to
+            # device_prefetch, whose put_local_shard assembles the global
+            # batch from each host's rows on multi-process meshes.
             for batch in self.train_pipe.epoch(epoch):
-                yield _array_batch(batch)
+                yield _numpy_batch(batch)
 
         loss_sum = None
         dev_counters = None
