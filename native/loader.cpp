@@ -8,10 +8,16 @@
 //
 // .vcb layout (little endian), one file per sequence:
 //   char[4]  magic "VCB1"
-//   u32      version (1 or 2)
+//   u32      version (1, 2 or 3)
 //   u32      T, H, W, C, act_dim
 //   u32      V                      (version >= 2 only; v1 implies V = 0)
-//   u8       cad_image[H*W*C]
+//   u32      CH, CW, CC             (version >= 3 only; the CAD image's own
+//                                    shape — v1/v2 imply CH,CW,CC = H,W,C.
+//                                    Carries preprocessed GenCAD Canny edge
+//                                    images, 256x256x3, whose shape differs
+//                                    from the frames': reference
+//                                    data_loader.py:455-469)
+//   u8       cad_image[CH*CW*CC]
 //   u8       views[V*H*W*C]         (version >= 2; the multiview renders,
 //                                    reference data_loader.py:417-429)
 //   u8       frames[T*H*W*C]
@@ -57,6 +63,7 @@ constexpr uint32_t kMaxT = 1u << 20;
 // runs the reads off EOF and fails cleanly.
 bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
                    uint32_t c, uint32_t act_dim, uint32_t num_views,
+                   uint32_t cad_h, uint32_t cad_w, uint32_t cad_c,
                    uint32_t bucket_len, uint8_t* cad_dst, uint8_t* views_dst,
                    uint8_t* frames_dst, float* actions_dst,
                    uint32_t* t_out) {
@@ -64,7 +71,7 @@ bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
   if (!f) return false;
   uint32_t header[7];
   if (std::fread(header, sizeof(uint32_t), 7, f) != 7 ||
-      header[0] != kMagic || header[1] < 1 || header[1] > 2 ||
+      header[0] != kMagic || header[1] < 1 || header[1] > 3 ||
       header[2] > kMaxT || header[3] != h || header[4] != w ||
       header[5] != c || header[6] != act_dim) {
     std::fclose(f);
@@ -80,10 +87,23 @@ bool read_vcb_into(const std::string& path, uint32_t h, uint32_t w,
     std::fclose(f);
     return false;
   }
+  // v1/v2 files carry the CAD image at the frames' shape; v3 declares its
+  // own. Either way it must match what the caller allocated for.
+  uint32_t cdims[3] = {h, w, c};
+  if (header[1] >= 3 &&
+      std::fread(cdims, sizeof(uint32_t), 3, f) != 3) {
+    std::fclose(f);
+    return false;
+  }
+  if (cdims[0] != cad_h || cdims[1] != cad_w || cdims[2] != cad_c) {
+    std::fclose(f);
+    return false;
+  }
   const uint32_t t = header[2];
   const uint32_t tt = std::min(t, bucket_len);
   const size_t img = static_cast<size_t>(h) * w * c;
-  bool ok = std::fread(cad_dst, 1, img, f) == img;
+  const size_t cad_img = static_cast<size_t>(cad_h) * cad_w * cad_c;
+  bool ok = std::fread(cad_dst, 1, cad_img, f) == cad_img;
   if (v > 0) {
     ok = ok && std::fread(views_dst, 1, img * v, f) == img * v;
   }
@@ -119,14 +139,19 @@ struct Batch {
 
 class Loader {
  public:
+  // cad_h/cad_w/cad_c <= 0 default to the frames' shape (v1/v2 stores).
   Loader(std::vector<std::string> paths, int batch_size, int bucket_len,
-         int h, int w, int c, int act_dim, int num_views, int prefetch,
-         int num_threads, int host_id, int num_hosts)
+         int h, int w, int c, int act_dim, int num_views, int cad_h,
+         int cad_w, int cad_c, int prefetch, int num_threads, int host_id,
+         int num_hosts)
       : paths_(std::move(paths)),
         batch_size_(batch_size),
         bucket_len_(bucket_len),
         h_(h), w_(w), c_(c), act_dim_(act_dim),
         num_views_(num_views < 0 ? 0 : num_views),
+        cad_h_(cad_h > 0 ? cad_h : h),
+        cad_w_(cad_w > 0 ? cad_w : w),
+        cad_c_(cad_c > 0 ? cad_c : c),
         prefetch_(prefetch < 1 ? 1 : prefetch),
         num_threads_(num_threads < 1 ? 1 : num_threads),
         num_hosts_(num_hosts < 1 ? 1 : num_hosts),
@@ -237,6 +262,7 @@ class Loader {
 
   Batch assemble(int batch_id) {
     const size_t img = static_cast<size_t>(h_) * w_ * c_;
+    const size_t cad_img = static_cast<size_t>(cad_h_) * cad_w_ * cad_c_;
     const size_t row = static_cast<size_t>(bucket_len_) * img;
     const size_t views_row = static_cast<size_t>(num_views_) * img;
     Batch batch;
@@ -244,7 +270,7 @@ class Loader {
     batch.frames.reset(new uint8_t[batch.frames_size]);
     batch.actions.assign(
         static_cast<size_t>(batch_size_) * bucket_len_ * act_dim_, -1.0f);
-    batch.cad_size = static_cast<size_t>(batch_size_) * img;
+    batch.cad_size = static_cast<size_t>(batch_size_) * cad_img;
     batch.cad.reset(new uint8_t[batch.cad_size]);
     if (num_views_ > 0) {
       batch.views_size = static_cast<size_t>(batch_size_) * views_row;
@@ -255,7 +281,7 @@ class Loader {
       const size_t idx = order_[batch_id * batch_size_ + b];
       batch.indices[b] = static_cast<int32_t>(idx);
       uint8_t* frames_dst = batch.frames.get() + static_cast<size_t>(b) * row;
-      uint8_t* cad_dst = batch.cad.get() + static_cast<size_t>(b) * img;
+      uint8_t* cad_dst = batch.cad.get() + static_cast<size_t>(b) * cad_img;
       uint8_t* views_dst =
           num_views_ > 0
               ? batch.views.get() + static_cast<size_t>(b) * views_row
@@ -264,13 +290,13 @@ class Loader {
           &batch.actions[static_cast<size_t>(b) * bucket_len_ * act_dim_];
       uint32_t t = 0;
       if (!read_vcb_into(paths_[idx], h_, w_, c_, act_dim_, num_views_,
-                         bucket_len_, cad_dst, views_dst, frames_dst,
-                         actions_dst, &t)) {
+                         cad_h_, cad_w_, cad_c_, bucket_len_, cad_dst,
+                         views_dst, frames_dst, actions_dst, &t)) {
         // Zero the row (all actions stay -1 => fully masked in the loss)
         // but COUNT it — silent corruption must surface; the Python side
         // raises above its threshold (data/native.py).
         std::memset(frames_dst, 0, row);
-        std::memset(cad_dst, 0, img);
+        std::memset(cad_dst, 0, cad_img);
         if (views_dst != nullptr) std::memset(views_dst, 0, views_row);
         // actions_dst needs no rewrite: read_vcb_into writes actions only
         // after every read succeeded, and the whole actions buffer was
@@ -299,7 +325,7 @@ class Loader {
 
   std::vector<std::string> paths_;
   const int batch_size_, bucket_len_, h_, w_, c_, act_dim_, num_views_,
-      prefetch_, num_threads_, num_hosts_, host_id_;
+      cad_h_, cad_w_, cad_c_, prefetch_, num_threads_, num_hosts_, host_id_;
   std::atomic<long long> skipped_rows_{0};
   std::vector<size_t> order_;
   std::vector<std::thread> workers_;
@@ -317,13 +343,14 @@ extern "C" {
 
 void* vcb_loader_create(const char** paths, int num_paths, int batch_size,
                         int bucket_len, int h, int w, int c, int act_dim,
-                        int num_views, int prefetch, int num_threads,
-                        int host_id, int num_hosts) {
+                        int num_views, int cad_h, int cad_w, int cad_c,
+                        int prefetch, int num_threads, int host_id,
+                        int num_hosts) {
   std::vector<std::string> path_vec(paths, paths + num_paths);
   auto* loader =
       new Loader(std::move(path_vec), batch_size, bucket_len, h, w, c,
-                 act_dim, num_views, prefetch, num_threads, host_id,
-                 num_hosts);
+                 act_dim, num_views, cad_h, cad_w, cad_c, prefetch,
+                 num_threads, host_id, num_hosts);
   if (!loader->valid()) {
     std::fprintf(stderr,
                  "[vcb_loader] host_id %d out of range [0, %d)\n", host_id,
@@ -356,22 +383,34 @@ int vcb_loader_next(void* handle, uint8_t* frames, float* actions,
 void vcb_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
 // Standalone .vcb writer so converters need no Python-side binary packing.
-// Writes version 1 (byte-identical to the original format) when
-// num_views == 0, version 2 with the views payload otherwise.
+// Picks the lowest version that can carry the payload: 1 (byte-identical
+// to the original format) for frame-shaped CAD + no views, 2 when views
+// are present, 3 when the CAD image has its own shape (GenCAD edge
+// images). cad_h/cad_w/cad_c <= 0 mean "frame-shaped".
 int vcb_write(const char* path, uint32_t t, uint32_t h, uint32_t w,
               uint32_t c, uint32_t act_dim, uint32_t num_views,
+              int cad_h, int cad_w, int cad_c,
               const uint8_t* cad, const uint8_t* views,
               const uint8_t* frames, const int32_t* actions) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return 0;
-  const uint32_t version = num_views > 0 ? 2 : 1;
+  uint32_t cdims[3] = {cad_h > 0 ? static_cast<uint32_t>(cad_h) : h,
+                       cad_w > 0 ? static_cast<uint32_t>(cad_w) : w,
+                       cad_c > 0 ? static_cast<uint32_t>(cad_c) : c};
+  const bool cad_own_shape =
+      cdims[0] != h || cdims[1] != w || cdims[2] != c;
+  const uint32_t version = cad_own_shape ? 3 : (num_views > 0 ? 2 : 1);
   uint32_t header[7] = {kMagic, version, t, h, w, c, act_dim};
   const size_t img = static_cast<size_t>(h) * w * c;
+  const size_t cad_img = static_cast<size_t>(cdims[0]) * cdims[1] * cdims[2];
   bool ok = std::fwrite(header, sizeof(uint32_t), 7, f) == 7;
   if (version >= 2) {
     ok = ok && std::fwrite(&num_views, sizeof(uint32_t), 1, f) == 1;
   }
-  ok = ok && std::fwrite(cad, 1, img, f) == img;
+  if (version >= 3) {
+    ok = ok && std::fwrite(cdims, sizeof(uint32_t), 3, f) == 3;
+  }
+  ok = ok && std::fwrite(cad, 1, cad_img, f) == cad_img;
   if (num_views > 0) {
     ok = ok && std::fwrite(views, 1, img * num_views, f) == img * num_views;
   }

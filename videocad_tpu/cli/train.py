@@ -34,12 +34,8 @@ def build_pipelines(args, view_ids, model_params=None):
     image_size = model_params.get("image_size")
     splits = load_split_ids(args.config_path)
     if getattr(args, "native_loader", False):
-        if gencad:
-            raise ValueError(
-                "--native_loader does not support use_pretrained_cad_model "
-                "(GenCAD Canny preprocessing is host-Python; use the "
-                "default loader)")
-        return _build_native_pipelines(args, splits, view_ids)
+        return _build_native_pipelines(args, splits, view_ids,
+                                       gencad=gencad, image_size=image_size)
     pipes = {}
     for split in ("train", "val", "test"):
         ds = VideoCADDataset(
@@ -55,12 +51,15 @@ def build_pipelines(args, view_ids, model_params=None):
     return pipes
 
 
-def _build_native_pipelines(args, splits, view_ids=()):
+def _build_native_pipelines(args, splits, view_ids=(), gencad=False,
+                            image_size=None):
     """C++ loader over .vcb shards (converted on demand from the store).
 
-    Multiview configs need version-2 shards carrying the view renders; a
-    store converted without views fails loudly here rather than as a shape
-    error inside flax (VERDICT r2 "what's weak" #1).
+    Multiview configs need version-2 shards carrying the view renders, and
+    GenCAD configs version-3 shards carrying the conversion-time Canny edge
+    image at its own 256x256x3 shape; a store converted without either
+    fails loudly here rather than as a shape error inside flax (VERDICT r2
+    "what's weak" #1).
     """
     import os
     from videocad_tpu.data.native import (
@@ -78,29 +77,53 @@ def _build_native_pipelines(args, splits, view_ids=()):
             convert_store_to_vcb(args.dataset_path, split_dir,
                                  ids=splits.get(split, []),
                                  view_ids=view_ids or None,
-                                 multiview_dir=args.multiview_dir)
+                                 multiview_dir=args.multiview_dir,
+                                 gencad=gencad, image_size=image_size)
             paths = scan_vcb(split_dir)
-        shape, stored_views = _probe_shape(paths[0])
+        shape, stored_views, cad_shape = _probe_shape(paths[0])
         if stored_views != num_views:
             raise ValueError(
                 f"{split_dir} holds .vcb shards with {stored_views} views "
                 f"but the model config needs {num_views}; re-convert the "
                 f"store (delete {vcb_root} or pass a fresh --vcb_dir) so "
                 f"the requested views are packed in")
+        # GenCAD stores pack the preprocessed 256x256x3 Canny edge image
+        # (data/dataset.py gencad_cad_image); a frame-shaped CAD image
+        # means the shards were converted without --gencad (and vice
+        # versa) — a silent mismatch would train the frozen encoder on
+        # raw renders instead of edges.
+        gencad_shape = (256, 256, 3)
+        if gencad and cad_shape != gencad_shape:
+            raise ValueError(
+                f"{split_dir} holds .vcb shards whose CAD image is "
+                f"{cad_shape}, not the preprocessed GenCAD edge image "
+                f"{gencad_shape}; re-convert the store (delete {vcb_root} "
+                f"or pass a fresh --vcb_dir) so conversion runs the Canny "
+                f"preprocessing")
+        if not gencad and cad_shape != shape:
+            raise ValueError(
+                f"{split_dir} holds GenCAD-converted .vcb shards (CAD "
+                f"image {cad_shape}) but the model config does not set "
+                f"use_pretrained_cad_model; re-convert the store (delete "
+                f"{vcb_root} or pass a fresh --vcb_dir)")
         pipes[split] = NativePipeline(
             paths, batch_size=args.batch_size, bucket_len=bucket,
-            image_shape=shape, num_views=num_views, shuffle=split == "train",
+            image_shape=shape, num_views=num_views, cad_shape=cad_shape,
+            shuffle=split == "train",
             host_id=jax.process_index(), num_hosts=jax.process_count())
     return pipes
 
 
 def _probe_shape(path):
-    """((H, W, C), num_views) from a .vcb header (version 1 or 2)."""
+    """((H, W, C), num_views, cad_shape) from a .vcb header (v1/v2/v3)."""
     import struct
     with open(path, "rb") as f:
         header = struct.unpack("<7I", f.read(28))
         views = struct.unpack("<I", f.read(4))[0] if header[1] >= 2 else 0
-    return (header[3], header[4], header[5]), views
+        shape = (header[3], header[4], header[5])
+        cad_shape = (struct.unpack("<3I", f.read(12)) if header[1] >= 3
+                     else shape)
+    return shape, views, tuple(cad_shape)
 
 
 def main(argv=None):

@@ -58,7 +58,8 @@ def load_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.vcb_loader_num_batches.restype = ctypes.c_int
     lib.vcb_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.vcb_loader_skipped_rows.restype = ctypes.c_longlong
@@ -76,6 +77,7 @@ def load_library():
     lib.vcb_write.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
@@ -88,13 +90,17 @@ def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
 
     ``views``: optional (V, H, W, C) uint8 multiview renders — written as a
     version-2 file; without views the file is the original version-1 format.
+    ``cad`` may have its own (CH, CW, CC) shape distinct from the frames'
+    (the GenCAD Canny edge image, 256x256x3 — reference
+    data_loader.py:455-469); that writes a version-3 file.
     """
     lib = load_library()
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     cad = np.ascontiguousarray(cad, dtype=np.uint8)
     actions = np.ascontiguousarray(actions, dtype=np.int32)
     t, h, w, c = frames.shape
-    assert cad.shape == (h, w, c), (cad.shape, frames.shape)
+    if cad.ndim != 3:
+        raise ValueError(f"cad must be (H, W, C) uint8; got {cad.shape}")
     if actions.ndim != 2 or actions.shape[0] != t:
         # The native writer fwrites t*act_dim int32s from this pointer —
         # a shorter array would be a heap over-read.
@@ -109,6 +115,7 @@ def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
         views_ptr = views.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     ok = lib.vcb_write(
         path.encode(), t, h, w, c, actions.shape[1], num_views,
+        cad.shape[0], cad.shape[1], cad.shape[2],
         cad.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         views_ptr,
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -120,25 +127,33 @@ def write_vcb(path: str, cad: np.ndarray, frames: np.ndarray,
 def convert_store_to_vcb(store_dir: str, out_dir: str,
                          ids: Optional[Sequence[str]] = None,
                          view_ids: Optional[Sequence[str]] = None,
-                         multiview_dir: Optional[str] = None) -> int:
+                         multiview_dir: Optional[str] = None,
+                         gencad: bool = False,
+                         image_size: Optional[int] = None) -> int:
     """Convert a reference pickle store into .vcb shards (one-time ETL).
 
     With ``view_ids`` the multiview render PNGs (reference
     data_loader.py:417-429) are packed into version-2 files so the native
-    loader can serve multiview configs.
+    loader can serve multiview configs. With ``gencad`` the CAD image is
+    preprocessed ONCE here — Canny edges, 3-channel, 256x256 (reference
+    data_loader.py:455-469) — and packed at its own shape (version-3
+    files), so use_pretrained_cad_model configs train off the C++ loader
+    with zero per-batch host Python.
     """
     from videocad_tpu.data.dataset import VideoCADDataset
     from videocad_tpu.etl.dataset_gen import shard_path
 
     dataset = VideoCADDataset(store_dir, ids=ids, view_ids=view_ids,
-                              multiview_dir=multiview_dir)
+                              multiview_dir=multiview_dir, gencad=gencad,
+                              image_size=image_size)
     count = 0
     for i in range(len(dataset)):
         item = dataset[i]
         file_id = dataset.sequence_id(i)
         frames = item["frames"]
         h, w, c = frames.shape[1:]
-        cad = _match_channels(item["cad_image"], h, w, c)
+        cad = (item["cad_image"] if gencad
+               else _match_channels(item["cad_image"], h, w, c))
         views = item.get("multiview_images")
         if views is not None:
             views = np.stack([_match_channels(v, h, w, c) for v in views])
@@ -176,15 +191,19 @@ class NativePipeline:
 
     def __init__(self, paths: Sequence[str], batch_size: int, bucket_len: int,
                  image_shape=(224, 224, 3), act_dim: int = 7,
-                 num_views: int = 0, shuffle: bool = True, seed: int = 42,
-                 prefetch: int = 2, num_threads: int = 2, host_id: int = 0,
-                 num_hosts: int = 1, max_skipped_rows: int = 0):
+                 num_views: int = 0, cad_shape=None, shuffle: bool = True,
+                 seed: int = 42, prefetch: int = 2, num_threads: int = 2,
+                 host_id: int = 0, num_hosts: int = 1,
+                 max_skipped_rows: int = 0):
         """``host_id``/``num_hosts``: per-host sharding of the globally
         shuffled order (the reference DistributedSampler semantics,
         data_loader.py:177-183) — on a pod each process consumes a
         disjoint 1/num_hosts slice, reshuffled every epoch.
         ``num_views``: > 0 reads version-2 .vcb files and yields
         ``multiview_images`` (B, V, H, W, C) uint8.
+        ``cad_shape``: the CAD image's own (H, W, C) when it differs from
+        the frames' (version-3 stores carrying preprocessed GenCAD edge
+        images); None = frame-shaped (v1/v2).
         ``max_skipped_rows``: corrupt/mismatched .vcb rows are padded out
         and counted; more than this many per epoch raises."""
         if not paths:
@@ -203,6 +222,7 @@ class NativePipeline:
         self.batch_size = batch_size
         self.bucket_len = bucket_len
         self.h, self.w, self.c = image_shape
+        self.cad_shape = tuple(cad_shape) if cad_shape else image_shape
         self.act_dim = act_dim
         self.num_views = num_views
         self.shuffle = shuffle
@@ -212,8 +232,9 @@ class NativePipeline:
             *[p.encode() for p in self.paths])
         self._handle = self.lib.vcb_loader_create(
             arr, len(self.paths), batch_size, bucket_len,
-            self.h, self.w, self.c, act_dim, num_views, prefetch,
-            num_threads, host_id, num_hosts)
+            self.h, self.w, self.c, act_dim, num_views,
+            self.cad_shape[0], self.cad_shape[1], self.cad_shape[2],
+            prefetch, num_threads, host_id, num_hosts)
         if not self._handle:
             raise ValueError("vcb_loader_create failed (see stderr)")
 
@@ -232,7 +253,7 @@ class NativePipeline:
         while True:
             frames = np.empty((b, l, self.h, self.w, self.c), np.uint8)
             actions = np.empty((b, l, self.act_dim), np.float32)
-            cad = np.empty((b, self.h, self.w, self.c), np.uint8)
+            cad = np.empty((b,) + self.cad_shape, np.uint8)
             views = (np.empty((b, v, self.h, self.w, self.c), np.uint8)
                      if v > 0 else self._dummy_views)
             indices = np.empty((b,), np.int32)
