@@ -46,3 +46,32 @@ def test_two_process_train_batch_assembly():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out, out
+
+
+PREEMPT_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "mp_preempt_worker.py")
+
+
+def test_two_process_preemption_consensus():
+    """A signal landing on ONE host stops BOTH (train/preempt.py)."""
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, PREEMPT_WORKER, str(i), "2", port], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out, out

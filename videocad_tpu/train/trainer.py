@@ -31,6 +31,7 @@ from videocad_tpu.infer.rollout import sequential_inference
 from videocad_tpu.train.checkpoint import CheckpointHandler
 from videocad_tpu.train.metrics import init_metrics, update_metrics
 from videocad_tpu.train.objective import LossConfig, compute_loss_and_metrics
+from videocad_tpu.train.preempt import PreemptionGuard
 from videocad_tpu.train.state import create_sharded_train_state, create_train_state
 from videocad_tpu.train.steps import make_eval_step, make_train_step
 from videocad_tpu.parallel.mesh import shard_batch
@@ -129,6 +130,11 @@ class Trainer:
         self.es_metric = training_config.get("early_stopping_metric", "accuracy")
         self.es_mode = training_config.get("early_stopping_mode", "max")
         self.start_epoch = 0
+        # Preemption guard (train/preempt.py): installed by train() when
+        # config["preemption_safe"] (default on); _preempted records a
+        # mid-epoch consensus stop inside _train_epoch.
+        self._guard: Optional[PreemptionGuard] = None
+        self._preempted = False
 
     # ------------------------------------------------------------------
     def log(self, message: str):
@@ -156,41 +162,69 @@ class Trainer:
         best_value = float("inf") if self.es_mode == "min" else float("-inf")
         best_name = None
         patience = 0
+        preempted = False
         profiling = self.config.get("enable_profiling", False)
-
-        for epoch in range(self.start_epoch, epochs):
-            epoch_start = time.time()
-            avg_loss, metrics = self._train_epoch(epoch, profiling)
-            self.logger.save(metrics, f"epoch_{epoch + 1}")
-            self._log_epoch(epoch, epochs, avg_loss, metrics)
-
-            if (epoch + 1) % self.config.get("save_frequency", 20) == 0:
-                self.checkpoints.save(self.state, epoch, avg_loss)
-
-            val_metrics = self._run_validation(epoch)
-
-            if self.es_enabled:
-                current = self._current_metric(avg_loss, val_metrics)
-                if current is None:
-                    pass  # metric not measured this epoch; no ES update
-                elif self._improved(current, best_value):
-                    self.log(f"Validation {self.es_metric} improved "
-                             f"{best_value:.4f} -> {current:.4f}")
-                    best_value, patience = current, 0
-                    self.checkpoints.save(self.state, epoch, avg_loss,
-                                          is_best=True)
-                    best_name = "best_model"
-                else:
-                    patience += 1
-                    self.log(f"No improvement; patience "
-                             f"{patience}/{self.es_patience}")
-                if patience >= self.es_patience:
-                    self.log(f"Early stopping after {epoch + 1} epochs")
+        if self.config.get("preemption_safe", True):
+            # SIGTERM (fleet maintenance / spot reclaim) becomes a clean
+            # save-and-stop instead of losing work since the last
+            # save_frequency checkpoint. Installed only for the duration
+            # of train(); previous handlers are restored in the finally.
+            self._guard = PreemptionGuard().install()
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                epoch_start = time.time()
+                avg_loss, metrics = self._train_epoch(epoch, profiling)
+                if self._preempted:
+                    # Mid-epoch stop: the epoch is incomplete, so the
+                    # checkpoint's meta says "resume AT this epoch"
+                    # (restart it), not after it.
+                    self.checkpoints.save(self.state, epoch - 1, avg_loss)
+                    self.log(f"Preempted during epoch {epoch + 1}; "
+                             f"checkpoint saved, resume restarts the epoch")
+                    preempted = True
                     break
-            self.log(f"Epoch {epoch + 1} took "
-                     f"{time.time() - epoch_start:.2f}s")
+                self.logger.save(metrics, f"epoch_{epoch + 1}")
+                self._log_epoch(epoch, epochs, avg_loss, metrics)
 
-        if self.es_enabled and best_name:
+                if (epoch + 1) % self.config.get("save_frequency", 20) == 0:
+                    self.checkpoints.save(self.state, epoch, avg_loss)
+
+                val_metrics = self._run_validation(epoch)
+                if self._guard is not None and self._guard.consensus():
+                    self.checkpoints.save(self.state, epoch, avg_loss)
+                    self.log(f"Preempted after epoch {epoch + 1}; "
+                             f"checkpoint saved")
+                    preempted = True
+                    break
+
+                if self.es_enabled:
+                    current = self._current_metric(avg_loss, val_metrics)
+                    if current is None:
+                        pass  # metric not measured this epoch; no ES update
+                    elif self._improved(current, best_value):
+                        self.log(f"Validation {self.es_metric} improved "
+                                 f"{best_value:.4f} -> {current:.4f}")
+                        best_value, patience = current, 0
+                        self.checkpoints.save(self.state, epoch, avg_loss,
+                                              is_best=True)
+                        best_name = "best_model"
+                    else:
+                        patience += 1
+                        self.log(f"No improvement; patience "
+                                 f"{patience}/{self.es_patience}")
+                    if patience >= self.es_patience:
+                        self.log(f"Early stopping after {epoch + 1} epochs")
+                        break
+                self.log(f"Epoch {epoch + 1} took "
+                         f"{time.time() - epoch_start:.2f}s")
+        finally:
+            if self._guard is not None:
+                self._guard.uninstall()
+                self._guard = None
+
+        # On preemption the best checkpoint may predate the just-saved
+        # state; keep the latest weights so resume continues seamlessly.
+        if self.es_enabled and best_name and not preempted:
             self.state, _ = self.checkpoints.restore(best_name, self.state)
             self.log("Loaded best model weights")
         self.checkpoints.wait()
@@ -244,6 +278,7 @@ class Trainer:
         loss_sum = None
         dev_counters = None
         num_batches = 0
+        self._preempted = False
         epoch_start = time.time()
         try:
             # Two batches stay in flight on device so step N+1's H2D
@@ -274,6 +309,15 @@ class Trainer:
                                                   dev_counters)
                     self._log_batch(epoch, num_batches, avg, metrics,
                                     (time.time() - epoch_start) / num_batches)
+                    # Preemption poll: a host-identical program point (the
+                    # batch count is the same on every process), so the
+                    # consensus collective lines up across the pod.
+                    if (self._guard is not None
+                            and self._guard.consensus()):
+                        self._preempted = True
+                        self.log(f"Preemption signal at batch "
+                                 f"{num_batches}; stopping epoch")
+                        break
         finally:
             if trace_started:
                 jax.profiler.stop_trace()
