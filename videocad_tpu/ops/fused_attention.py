@@ -47,7 +47,7 @@ def _batched_dot(a, b, contract_a, contract_b):
 
 
 def _to_heads(x_ref, num_heads, head_dim):
-    """(bb, T, H*D) ref -> (H*bb, T, D) f32 value, head-major.
+    """(bb, T, H*D) ref -> (H*bb, T, D) value, head-major, IO dtype.
 
     The HBM arrays stay in the natural (bb, T, H*D) layout — H*D (1024)
     lanes tile perfectly, whereas a host-side (bb, T, H, D) reshape pads
@@ -56,8 +56,13 @@ def _to_heads(x_ref, num_heads, head_dim):
     The in-kernel lane split is an unsupported Mosaic shape cast, so the
     head axis is peeled with static lane slices and re-stacked along the
     (untiled) leading dim — head-major: slab row = h * bb + j.
+
+    Values stay in the IO dtype: on the bf16 hot path every dot then runs
+    as a single-pass bf16 MXU matmul with f32 accumulation (identical
+    products — bf16 values are exact in f32 — where the r2-r3 kernels
+    cast to f32 first and paid the multi-pass f32 MXU rate).
     """
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[:]
     return jnp.concatenate(
         [x[:, :, h * head_dim:(h + 1) * head_dim]
          for h in range(num_heads)], axis=0)
@@ -113,7 +118,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, num_heads,
     if dropout_rate > 0.0:
         bits = _dropout_bits(seed_ref, bb, num_heads, weights.shape[-1])
         weights, _ = _apply_dropout(weights, bits, dropout_rate)
-    out = _batched_dot(weights, v, 2, 1)
+    # weights drop to the IO dtype for the PV dot (single-pass MXU on
+    # bf16) — the same rounding the XLA reference path applies
+    # (layers.xla_attention casts the softmax output back to the compute
+    # dtype before the value einsum).
+    out = _batched_dot(weights.astype(v.dtype), v, 2, 1)
     _write_heads(o_ref, out, bb, num_heads, head_dim)
 
 
@@ -134,9 +143,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     else:
         dropped, keep = weights, None
 
-    # dv = dropped^T @ g (contract over T_query)
+    # dv = dropped^T @ g (contract over T_query). The softmax weights and
+    # ds drop to the IO dtype at each dot — bf16 single-pass MXU matmuls,
+    # the same rounding XLA autodiff applies differentiating the bf16
+    # einsum path; with f32 IO the casts are identities.
     dv = jax.lax.dot_general(
-        dropped, g, (((1,), (1,)), ((0,), (0,))),
+        dropped.astype(g.dtype), g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     d_dropped = _batched_dot(g, v, 2, 2)
     if dropout_rate > 0.0:
@@ -144,7 +156,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     else:
         dw = d_dropped
     ds = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
-    ds = ds * sm_scale
+    ds = (ds * sm_scale).astype(q.dtype)
     dq = _batched_dot(ds, k, 2, 1)
     dk = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))),
@@ -163,15 +175,15 @@ def _choose_block_b(b: int, t: int, num_heads: int, head_dim: int,
     """Largest frame block whose VMEM footprint fits the scoped budget.
 
     Model: n_io pipelined ref buffers (x2 double buffering) in the input
-    dtype, n_f32 f32 head-transposed copies, n_scores f32 (bbH, T, T)
-    score-sized tensors.
+    dtype, n_f32 head-transposed copies (also IO dtype since the bf16-dot
+    rework), n_scores f32 (bbH, T, T) score-sized tensors.
     """
     hd = num_heads * head_dim
     for cand in (8, 4, 2, 1):
         if b % cand != 0:
             continue
         slab = cand * t * hd
-        est = (slab * (itemsize * n_io * 2 + 4 * n_f32)
+        est = (slab * itemsize * (n_io * 2 + n_f32)
                + cand * num_heads * t * t * 4 * n_scores)
         if est <= _VMEM_BUDGET:
             return cand
