@@ -200,6 +200,16 @@ class ViT(nn.Module):
             x = jax.lax.optimization_barrier(x)
         x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        if images.dtype != self.dtype:
+            # Second pin, after the patchify transpose. The r3 barrier
+            # above keeps the upstream preprocess chain bf16, but XLA then
+            # hoists patch_norm_in's f32 stat promotion to just after it —
+            # an r4 trace showed a materialized full-frame bf16->f32
+            # convert plus both patchify layout copies running at f32
+            # (~2.6 ms/step vs ~1.0 at half width). Pinning here forces
+            # the convert after the copies, where it fuses into the LN
+            # stat reduction instead of materializing.
+            x = jax.lax.optimization_barrier(x)
 
         if cfg.patch_norm:
             x = ln(dtype=self.dtype, name="patch_norm_in")(x)
