@@ -224,7 +224,13 @@ class ViT(nn.Module):
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, gh * gw + 1, cfg.dim), jnp.float32)
         x = x + pos.astype(self.dtype)
-        x = nn.Dropout(cfg.emb_dropout)(x, deterministic=deterministic)
+        if not deterministic and cfg.emb_dropout > 0.0:
+            # ops.dropout's u8-threshold masks, same as the block sites
+            # (nn.Dropout's bernoulli costs a u32 bit stream + f32
+            # uniform conversion on the full token tensor)
+            from videocad_tpu.ops.dropout import dropout as _dropout
+            x = _dropout(x, self.make_rng("dropout"), cfg.emb_dropout,
+                         impl=self.dropout_impl)
 
         for i in range(cfg.depth):
             x = ViTBlock(cfg, dtype=self.dtype,

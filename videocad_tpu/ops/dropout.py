@@ -97,5 +97,23 @@ def dropout(x: jnp.ndarray, rng: jax.Array, rate: float,
         seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         return hw_dropout(x, seed, rate)
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+    # u8 integer-threshold mask instead of jax.random.bernoulli. Two wins
+    # measured on the flagship (r4): (1) bernoulli lowers to bits ->
+    # u32->f32 uniform conversion -> float compare; comparing raw bits
+    # against an integer threshold skips the conversion chain. (2) u8
+    # bits quarter the RngBitGenerator output traffic — the 13 dropout
+    # sites generated ~2 GB/step of u32 bits (~4.5 ms). Together:
+    # 11,074 -> 12,025 frames/s/chip (+8.6%).
+    #
+    # The drop rate quantizes to 1/256 granularity (threshold = nearest
+    # count, clamped to >= 1 so any positive rate still drops): rate 0.1
+    # realizes as 26/256 = 0.1016. The keep-scale uses the EFFECTIVE
+    # rate, so E[dropout(x)] == x exactly; only the regularization
+    # strength shifts, by <= 1/512 absolute. Exact-rate bernoulli never
+    # held bit-parity with the reference's torch RNG anyway, and dropout
+    # has never guaranteed a stable mask stream across versions.
+    threshold = min(max(1, round(rate * 256)), 255)
+    eff_rate = threshold / 256.0
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    keep = bits >= jnp.uint8(threshold)
+    return jnp.where(keep, x / (1.0 - eff_rate), 0.0).astype(x.dtype)
