@@ -105,14 +105,22 @@ def dropout(x: jnp.ndarray, rng: jax.Array, rate: float,
     # sites generated ~2 GB/step of u32 bits (~4.5 ms). Together:
     # 11,074 -> 12,025 frames/s/chip (+8.6%).
     #
-    # The drop rate quantizes to 1/256 granularity (threshold = nearest
-    # count, clamped to >= 1 so any positive rate still drops): rate 0.1
-    # realizes as 26/256 = 0.1016. The keep-scale uses the EFFECTIVE
-    # rate, so E[dropout(x)] == x exactly; only the regularization
-    # strength shifts, by <= 1/512 absolute. Exact-rate bernoulli never
-    # held bit-parity with the reference's torch RNG anyway, and dropout
-    # has never guaranteed a stable mask stream across versions.
-    threshold = min(max(1, round(rate * 256)), 255)
+    # The drop rate quantizes to 1/256 granularity: rate 0.1 realizes as
+    # 26/256 = 0.1016. The keep-scale uses the EFFECTIVE rate, so
+    # E[dropout(x)] == x exactly; only the regularization strength
+    # shifts, by <= 1/512 absolute for any rate the u8 grid represents.
+    # Exact-rate bernoulli never held bit-parity with the reference's
+    # torch RNG anyway, and dropout has never guaranteed a stable mask
+    # stream across versions.
+    threshold = round(rate * 256)
+    if not 1 <= threshold <= 255:
+        # Rates off the u8 grid (< ~0.002 or > ~0.998) would quantize to
+        # a multiple of the requested rate (ADVICE r4: rate 0.001 -> u8
+        # floor 1/256, ~4x the asked drop probability) — take the exact
+        # u32 path instead; these rates never appear on the hot configs.
+        bits32 = jax.random.bits(rng, x.shape, jnp.uint32)
+        keep = bits32 >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+        return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
     eff_rate = threshold / 256.0
     bits = jax.random.bits(rng, x.shape, jnp.uint8)
     keep = bits >= jnp.uint8(threshold)
