@@ -47,90 +47,11 @@ from videocad_tpu.actions.vocab import ACT_DIM
 from videocad_tpu.infer.incremental import _require_incremental_support
 from videocad_tpu.infer.rollout import (
     _dense,
-    _heads_split,
-    _layernorm,
+    _kv_write,
     cast_decode_tree,
+    decode_step,
 )
 from videocad_tpu.models.videocadformer import VideoCADFormer
-
-
-def _mux_attend(q, k, v, mask):
-    """q: (L,H,D); k,v: (L,S,H,D); mask: (L,S) bool. -> (L, H*D)."""
-    depth = q.shape[-1]
-    scores = jnp.einsum("bhd,bshd->bhs", q, k) / jnp.sqrt(
-        jnp.asarray(depth, q.dtype))
-    scores = jnp.where(mask[:, None, :], scores,
-                       jnp.finfo(scores.dtype).min)
-    weights = jax.nn.softmax(scores.astype(jnp.float32),
-                             axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bhs,bshd->bhd", weights, v)
-    return ctx.reshape(q.shape[0], -1)
-
-
-def _write_at(cache, new, t):
-    """Per-lane cache write: cache (L,T,H,D), new (L,H,D), t (L,) -> cache."""
-    return jax.vmap(
-        lambda c, n, ti: jax.lax.dynamic_update_slice(c, n[None], (ti, 0, 0))
-    )(cache, new, t)
-
-
-def _window_slice(mem, start, w):
-    """Per-lane banded window read: mem (L,S,H,D), start (L,) -> (L,w,H,D)."""
-    return jax.vmap(
-        lambda m, s: jax.lax.dynamic_slice_in_dim(m, s, w, axis=0)
-    )(mem, start)
-
-
-def _mux_decoder_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
-                      self_kv, mem_kv, window: int, seq_len: int):
-    """The decoder-stack step of infer/rollout.decode_step with per-lane
-    positions: x (L, hidden), t (L,) int32.  Same math, same dtype flow;
-    masks and cache writes are vectorized over the lane axis.
-
-    MAINTENANCE: this deliberately mirrors rollout.decode_step line for
-    line (vmapping decode_step over the lane axis would remove the fork,
-    but changes the compiled serving program — a rewrite to measure on
-    TPU, not land blind). Until then, any change to decode_step's math
-    (new quant key, norm placement) MUST be applied here too; the
-    lane-equality tests in tests/test_multiplex.py catch a missed sync."""
-    num_heads = cfg.nhead
-    positions = jnp.arange(seq_len)
-    self_mask = positions[None, :] <= t[:, None]                  # (L, S)
-    w = min(window, seq_len)
-    start = jnp.clip(t - window + 1, 0, seq_len - w)              # (L,)
-    wpos = start[:, None] + jnp.arange(w)[None, :]                # (L, w)
-    mem_mask = (wpos > (t - window)[:, None]) & (wpos <= t[:, None])
-
-    new_kv = []
-    for i in range(cfg.num_decoder_layers):
-        layer = params["decoder"][f"layers_{i}"]
-        sa, ca = layer["self_attn"], layer["cross_attn"]
-
-        if "qkv" in sa:
-            qkv_out = _dense(sa["qkv"], x)
-            q, k_t, v_t = (
-                _heads_split(part, num_heads)
-                for part in jnp.split(qkv_out, 3, axis=-1))
-        else:
-            q = _heads_split(_dense(sa["query"], x), num_heads)
-            k_t = _heads_split(_dense(sa["key"], x), num_heads)
-            v_t = _heads_split(_dense(sa["value"], x), num_heads)
-        k_cache = _write_at(self_kv[i][0], k_t, t)
-        v_cache = _write_at(self_kv[i][1], v_t, t)
-        new_kv.append((k_cache, v_cache))
-
-        ctx = _mux_attend(q, k_cache, v_cache, self_mask)
-        x = _layernorm(layer["norm1"], x + _dense(sa["out"], ctx))
-
-        qc = _heads_split(_dense(ca["query"], x), num_heads)
-        mem_k, mem_v = mem_kv[i]
-        ctx = _mux_attend(qc, _window_slice(mem_k, start, w),
-                          _window_slice(mem_v, start, w), mem_mask)
-        x = _layernorm(layer["norm2"], x + _dense(ca["out"], ctx))
-
-        h = jax.nn.relu(_dense(layer["linear1"], x))
-        x = _layernorm(layer["norm3"], x + _dense(layer["linear2"], h))
-    return x, new_kv
 
 
 def init_mux_carry(model: VideoCADFormer, params: Dict, lanes: int,
@@ -249,8 +170,8 @@ def mux_decode_step(model: VideoCADFormer, params: Dict,
             lanes, cfg.nhead, -1)
         k_cache, v_cache = carry["mem_kv"][i]
         mem_kv.append((
-            jnp.where(gate, _write_at(k_cache, k_t, t), k_cache),
-            jnp.where(gate, _write_at(v_cache, v_t, t), v_cache)))
+            jnp.where(gate, _kv_write(k_cache, k_t, t), k_cache),
+            jnp.where(gate, _kv_write(v_cache, v_t, t), v_cache)))
 
     # 2. One decoder step on each lane's previous action.
     if cfg.enable_timestep_embedding:
@@ -260,9 +181,13 @@ def mux_decode_step(model: VideoCADFormer, params: Dict,
     x = jnp.tanh(_dense(cast(params["embed_action"]),
                         carry["action"].astype(dtype))
                  + ts_emb.astype(dtype))
-    hidden, self_kv = _mux_decoder_step(scan_params, cfg, x, t,
-                                        carry["self_kv"], mem_kv,
-                                        cfg.window_size, seq_len)
+    # The SHARED decoder step (rollout.decode_step) with per-lane t: one
+    # implementation of the decode math for eval and serving (the r4
+    # hand-synced fork is gone; lane equality pinned in
+    # tests/test_multiplex.py).
+    hidden, self_kv = decode_step(scan_params, cfg, x, t,
+                                  carry["self_kv"], mem_kv,
+                                  cfg.window_size, seq_len)
     hidden = hidden.astype(jnp.float32)
     cmd_logits = _dense(params["predict_cmd"], hidden)
     param_logits = _dense(params["predict_params"], hidden).reshape(

@@ -182,15 +182,45 @@ def _heads_split(x, num_heads):
 
 
 def _masked_attend(q, k, v, mask):
-    """q: (B,H,D); k,v: (B,S,H,D); mask: (S,) bool. -> (B, H*D)."""
+    """q: (B,H,D); k,v: (B,S,H,D); mask: (S,) or per-row (B,S) bool.
+    -> (B, H*D)."""
     depth = q.shape[-1]
     scores = jnp.einsum("bhd,bshd->bhs", q, k) / jnp.sqrt(
         jnp.asarray(depth, q.dtype))
-    scores = jnp.where(mask[None, None, :], scores, jnp.finfo(scores.dtype).min)
+    mask2d = mask if mask.ndim == 2 else mask[None, :]
+    scores = jnp.where(mask2d[:, None, :], scores,
+                       jnp.finfo(scores.dtype).min)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bhs,bshd->bhd", weights, v)
     b = q.shape[0]
     return ctx.reshape(b, -1)
+
+
+def _kv_write(cache, new, t):
+    """Write one step's K or V into the cache at position ``t``.
+
+    cache: (B,T,H,D); new: (B,H,D); t scalar (shared position — the
+    rollout scan / single-session incremental decode) or (B,) (per-lane
+    positions — the multiplexed serving step; XLA lowers the vmapped
+    ``dynamic_update_slice`` to a scatter)."""
+    if t.ndim == 0:
+        return jax.lax.dynamic_update_slice(cache, new[:, None],
+                                            (0, t, 0, 0))
+    return jax.vmap(
+        lambda c, n, ti: jax.lax.dynamic_update_slice(c, n[None], (ti, 0, 0))
+    )(cache, new, t)
+
+
+def _window_read(mem, start, w):
+    """Banded window read of the memory K/V.
+
+    mem: (B,S,H,D); start scalar (shared window) or (B,) (per-lane
+    windows) -> (B,w,H,D)."""
+    if start.ndim == 0:
+        return jax.lax.dynamic_slice_in_dim(mem, start, w, axis=1)
+    return jax.vmap(
+        lambda m, s: jax.lax.dynamic_slice_in_dim(m, s, w, axis=0)
+    )(mem, start)
 
 
 def precompute_memory_kv(params: Dict, memory: jnp.ndarray, num_layers: int,
@@ -215,29 +245,45 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
     x: (B, hidden) target embedding for this step; self_kv: per-layer
     (k,v) caches (B, T, H, D); returns (hidden_out, new_self_kv).
 
+    ``t`` is either a SCALAR (all rows at the same position — the rollout
+    scan and single-session incremental decode) or a PER-ROW (B,) vector
+    (each serving lane at its own position — the multiplexed step,
+    infer/multiplex.py). The branch is on ``t.ndim``, i.e. static at
+    trace time: the scalar path compiles exactly the program it always
+    did, and the vector path compiles the per-lane masks/scatter reads
+    the lane-multiplexed decoder needs — ONE implementation of the layer
+    math for eval and serving (the r4 hand-synced fork is gone).
+
     Cross-attention reads only a ``window``-wide dynamic slice of the
     memory K/V: the banded mask admits positions (t-window, t], so there
     is no need to stream the full (B, S, H, D) memory per step — at the
     flagship shapes the full-memory reads were ~98 MB/step of the decode
     loop's HBM traffic for a window of 10 valid columns.
 
-    ``write_valid`` (scalar bool, optional): when False, the self-KV slot
-    at ``t`` keeps its existing value — the horizon guard for incremental
-    callers whose ``t`` may reach seq_len (a clamped write would corrupt
-    the final slot). None (the rollout scan, whose t < seq_len always)
-    costs nothing.
-
-    MAINTENANCE: infer/multiplex._mux_decoder_step mirrors this body with
-    a lane axis; apply any math change there too (its docstring explains
-    why the fork exists; tests/test_multiplex.py pins the equality).
+    ``write_valid`` (scalar bool, optional, scalar-``t`` callers only):
+    when False, the self-KV slot at ``t`` keeps its existing value — the
+    horizon guard for incremental callers whose ``t`` may reach seq_len
+    (a clamped write would corrupt the final slot). None (the rollout
+    scan, whose t < seq_len always) costs nothing. Per-lane callers gate
+    every state write outside (multiplex.mux_decode_step's ``active``).
     """
     num_heads = cfg.nhead
+    t = jnp.asarray(t)
+    per_lane = t.ndim == 1
+    if per_lane and write_valid is not None:
+        raise ValueError("write_valid is a scalar-t guard; per-lane "
+                         "callers gate writes via their active mask")
     positions = jnp.arange(seq_len)
-    self_mask = positions <= t
     w = min(window, seq_len)
     start = jnp.clip(t - window + 1, 0, seq_len - w)
-    wpos = start + jnp.arange(w)
-    mem_mask = (wpos > t - window) & (wpos <= t)
+    if per_lane:
+        self_mask = positions[None, :] <= t[:, None]               # (B, S)
+        wpos = start[:, None] + jnp.arange(w)[None, :]             # (B, w)
+        mem_mask = (wpos > (t - window)[:, None]) & (wpos <= t[:, None])
+    else:
+        self_mask = positions <= t                                 # (S,)
+        wpos = start + jnp.arange(w)
+        mem_mask = (wpos > t - window) & (wpos <= t)
 
     new_kv = []
     for i in range(cfg.num_decoder_layers):
@@ -257,14 +303,13 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
             k_t = _heads_split(_dense(sa["key"], x), num_heads)
             v_t = _heads_split(_dense(sa["value"], x), num_heads)
         k_cache, v_cache = self_kv[i]
-        k_new, v_new = k_t[:, None], v_t[:, None]
         if write_valid is not None:
-            k_new = jnp.where(write_valid, k_new, jax.lax.dynamic_slice(
-                k_cache, (0, t, 0, 0), k_new.shape))
-            v_new = jnp.where(write_valid, v_new, jax.lax.dynamic_slice(
-                v_cache, (0, t, 0, 0), v_new.shape))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, t, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, t, 0, 0))
+            k_t = jnp.where(write_valid, k_t[:, None], jax.lax.dynamic_slice(
+                k_cache, (0, t, 0, 0), k_t[:, None].shape))[:, 0]
+            v_t = jnp.where(write_valid, v_t[:, None], jax.lax.dynamic_slice(
+                v_cache, (0, t, 0, 0), v_t[:, None].shape))[:, 0]
+        k_cache = _kv_write(k_cache, k_t, t)
+        v_cache = _kv_write(v_cache, v_t, t)
         new_kv.append((k_cache, v_cache))
 
         ctx = _masked_attend(q, k_cache, v_cache, self_mask)
@@ -272,9 +317,8 @@ def decode_step(params: Dict, cfg, x: jnp.ndarray, t: jnp.ndarray,
 
         qc = _heads_split(_dense(ca["query"], x), num_heads)
         mem_k, mem_v = mem_kv[i]
-        mem_k_w = jax.lax.dynamic_slice_in_dim(mem_k, start, w, axis=1)
-        mem_v_w = jax.lax.dynamic_slice_in_dim(mem_v, start, w, axis=1)
-        ctx = _masked_attend(qc, mem_k_w, mem_v_w, mem_mask)
+        ctx = _masked_attend(qc, _window_read(mem_k, start, w),
+                             _window_read(mem_v, start, w), mem_mask)
         x = _layernorm(layer["norm2"], x + _dense(ca["out"], ctx))
 
         h = jax.nn.relu(_dense(layer["linear1"], x))
