@@ -25,34 +25,23 @@ import numpy as np
 
 from videocad_tpu.data.synthetic import synthetic_batch_feed
 from videocad_tpu.models import create_model, init_model
-from videocad_tpu.train import LossConfig, make_train_step
+from videocad_tpu.models.factory import flagship_config
+from videocad_tpu.train import (
+    REFERENCE_CMD_WEIGHTS,
+    LossConfig,
+    make_train_step,
+)
 from videocad_tpu.train.state import create_train_state
 
 BASELINE_A100_FPS = 1000.0  # estimated reference throughput (see docstring)
 
-FLAGSHIP = dict(
-    hidden_size=1024,
-    num_decoder_layers=8,
-    dim_feedforward=1024,
-    nhead=4,
-    encoder="vit",
-    enable_past_actions=True,
-    enable_past_states=True,
-    enable_timestep_embedding=True,
-    window_size=10,
-    dtype="bfloat16",
-    # remat off: the fused attention kernel keeps activations small enough
-    # that the full ViT forward fits HBM at B=8 — skipping the recompute is
-    # worth 288 -> 223 ms/step
-    remat_encoder=False,
-    vit_attention_impl="fused",
-)
+# The flagship NAMED config, loaded from model_configs/
+# transformer_experiments.json — the bench measures the same definition
+# the experiment runner trains (perf fields dtype/remat_encoder/
+# vit_attention_impl are part of the named config itself).
+FLAGSHIP = flagship_config()
 
-LOSS_CONFIG = LossConfig(
-    cmd_weights=(0.04332685213392362, 0.02915898563179938, 0.267566828114559,
-                 0.6005346809501417, 0.05941265316957628),
-    use_mse=True,
-)
+LOSS_CONFIG = LossConfig(cmd_weights=REFERENCE_CMD_WEIGHTS, use_mse=True)
 
 
 def bench_rollout(batch_size: int = 8, seq_len: int = 187, warmup: int = 1,
@@ -351,6 +340,68 @@ def bench_sweep(out_path: str = "docs/perf_sweep.json",
                       "unit": "points", "vs_baseline": None}))
 
 
+def bench_smoke():
+    """Pre-snapshot TPU compile gate (`python bench.py smoke`).
+
+    Compiles AND runs one iteration of every hardware-lowered program on
+    the REAL backend at small shapes: the flagship train step (fwd+bwd)
+    in both ``vit_attention_impl`` modes (dropout on — the hardware-PRNG
+    path inside the fused kernels is exactly where the r4 Mosaic break
+    hid), the KV-cached rollout, the lane-multiplexed serving step, and
+    the Pallas preprocess kernels. The CPU test suite runs all Pallas
+    kernels with ``interpret=True`` and structurally cannot catch
+    Mosaic-lowering regressions (three reached HEAD in rounds 3-4); this
+    gate exists so no round ends without a real-backend compile of each.
+
+    Exits non-zero on any compile/run failure. Small shapes keep the wall
+    time to a few minutes on the tunneled chip; Mosaic lowering does not
+    depend on the block counts these shapes shrink.
+    """
+    import sys
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(json.dumps({"metric": "smoke", "value": 0, "unit": "checks",
+                          "vs_baseline": None,
+                          "error": f"needs the TPU backend, got {backend}"}))
+        sys.exit(1)
+
+    checks = []
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        wall = round(time.perf_counter() - t0, 1)
+        checks.append(name)
+        print(json.dumps({"smoke_check": name, "wall_s": wall}), flush=True)
+
+    # 1-2. Flagship train step, both ViT attention modes, dropout active.
+    run("train_fused", lambda: _measure_train(8, 48, FLAGSHIP,
+                                              warmup=1, iters=1))
+    run("train_block", lambda: _measure_train(
+        8, 48, dict(FLAGSHIP, vit_attention_impl="block",
+                    vit_mlp_impl="block"), warmup=1, iters=1))
+    # 3. KV-cached rollout scan (the sequential_evaluate engine).
+    run("rollout", lambda: _measure_rollout(2, seq_len=32, warmup=1,
+                                            iters=1))
+    # 4. Lane-multiplexed serving step (cli/serve's device program).
+    run("mux_serve", lambda: _measure_serve(2, seq_len=24))
+    # 5. Pallas preprocess kernels (grayscale+normalize, and with resize).
+    from videocad_tpu.ops.preprocess import grayscale_normalize_pallas
+
+    def preprocess():
+        img = jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, (4, 224, 224, 3), np.uint8))
+        float(grayscale_normalize_pallas(img)[0, 0, 0, 0])
+        float(grayscale_normalize_pallas(img, target_size=(112, 112)
+                                         )[0, 0, 0, 0])
+    run("preprocess_pallas", preprocess)
+
+    print(json.dumps({"metric": "smoke", "value": len(checks),
+                      "unit": "checks", "vs_baseline": None,
+                      "passed": checks}))
+
+
 def _measure_rollout(batch_size: int, seq_len: int = 187, warmup: int = 1,
                      iters: int = 3, weight_quant: str = "none") -> float:
     from videocad_tpu.infer.rollout import sequential_inference
@@ -386,6 +437,8 @@ if __name__ == "__main__":
                     else "none")
     elif len(sys.argv) > 1 and sys.argv[1] == "e2e":
         bench_e2e()
+    elif len(sys.argv) > 1 and sys.argv[1] == "smoke":
+        bench_smoke()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
         bench_sweep(*sys.argv[2:4])
     elif len(sys.argv) > 1 and sys.argv[1] == "quant":

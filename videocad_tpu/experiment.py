@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 import jax
 
 from videocad_tpu.models.factory import create_model, init_model
-from videocad_tpu.train.objective import LossConfig
+from videocad_tpu.train.objective import REFERENCE_CMD_WEIGHTS, LossConfig
 from videocad_tpu.train.trainer import Trainer
 from videocad_tpu.utils.io import load_json, save_json
 
@@ -36,9 +36,7 @@ def default_loss_config(training_config: Dict,
         return LossConfig.from_class_weights(
             weights, use_mse=training_config.get("use_mse", True))
     return LossConfig(
-        cmd_weights=(0.04332685213392362, 0.02915898563179938,
-                     0.267566828114559, 0.6005346809501417,
-                     0.05941265316957628),
+        cmd_weights=REFERENCE_CMD_WEIGHTS,
         use_mse=training_config.get("use_mse", True))
 
 

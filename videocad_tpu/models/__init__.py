@@ -4,8 +4,10 @@ from videocad_tpu.models.videocadformer import (  # noqa: F401
     encoder_embed_dim,
 )
 from videocad_tpu.models.factory import (  # noqa: F401
+    FLAGSHIP_NAME,
     create_model,
     example_inputs,
+    flagship_config,
     init_model,
     load_named_config,
 )

@@ -10,6 +10,7 @@ quirk 1).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -48,6 +49,22 @@ def load_named_config(config_path: str, name: str) -> Dict[str, Any]:
         raise KeyError(f"Config '{name}' not in {config_path}; "
                        f"available: {sorted(configs)}")
     return configs[name]
+
+
+# The flagship experiment (reference model_configs/
+# transformer_experiments.json) — the config bench.py measures and
+# __graft_entry__ compile-checks. Both load it through flagship_config()
+# so the bench provably measures the named config, not a convention-synced
+# copy of it.
+FLAGSHIP_NAME = "cad_past_10_actions_and_states_timestep_embedding"
+
+
+def flagship_config() -> Dict[str, Any]:
+    """The flagship named config, loaded from the repo's config file."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir, os.pardir, "model_configs",
+                        "transformer_experiments.json")
+    return load_named_config(os.path.normpath(path), FLAGSHIP_NAME)
 
 
 def example_inputs(cfg: VideoCADFormerConfig, batch: int = 1,

@@ -1,4 +1,5 @@
 from videocad_tpu.train.objective import (  # noqa: F401
+    REFERENCE_CMD_WEIGHTS,
     LossConfig,
     compute_loss_and_metrics,
 )

@@ -36,6 +36,14 @@ from videocad_tpu.ops.losses import flexible_cross_entropy, weighted_cross_entro
 
 TOPK = 30  # "top-30": accuracy over the first 30 timesteps (trainer.py:1006)
 
+# The reference's published command-class weights (class_weights.json
+# "Label", consumed at /root/reference/trainer.py:822-845). Single source
+# of truth — bench.py, __graft_entry__.py and experiment.default_loss_config
+# all import this tuple rather than re-declaring it.
+REFERENCE_CMD_WEIGHTS = (
+    0.04332685213392362, 0.02915898563179938, 0.267566828114559,
+    0.6005346809501417, 0.05941265316957628)
+
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
