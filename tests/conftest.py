@@ -23,3 +23,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Fast/slow lanes: the default run skips @pytest.mark.slow tests (heavy
+# e2e CLI / mesh-parity / train-to-accuracy proofs, ~22 min of the ~32 min
+# full suite on this 1-core host) so the edit-test loop stays under 10 min.
+# `pytest --runslow` runs everything; the verify workflow and pre-snapshot
+# checks use the full lane.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow tests (full ~32 min lane)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow lane: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -122,6 +122,7 @@ def test_flash_gradients_bf16():
                                    atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_model_gradients_with_pallas_attention_match_xla():
     """Full-model gradient parity: the decoder trains through the Pallas
     forward AND backward kernels (dropout off — the CPU interpret path)."""

@@ -23,6 +23,7 @@ def workspace(tmp_path_factory):
     return root, store, split, config_path
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(workspace, monkeypatch):
     root, store, split, config_path = workspace
     monkeypatch.chdir(root)
@@ -55,6 +56,7 @@ def test_train_cli_end_to_end(workspace, monkeypatch):
     assert os.path.exists(os.path.join(root, "ckpt", exp, "best_model"))
 
 
+@pytest.mark.slow
 def test_evaluate_cli_end_to_end(workspace, monkeypatch):
     root, store, split, config_path = workspace
     monkeypatch.chdir(root)

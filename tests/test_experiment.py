@@ -40,6 +40,7 @@ def _experiment(root, pipes, log_dir):
                       class_weights_path=None)
 
 
+@pytest.mark.slow
 def test_grid_sweep_expands_list_params(pipes):
     root, p = pipes
     exp = _experiment(root, p, "grid")
@@ -56,6 +57,7 @@ def test_grid_sweep_expands_list_params(pipes):
     assert saved["window_size"] in (2, 3)
 
 
+@pytest.mark.slow
 def test_named_config_run_writes_results(pipes):
     root, p = pipes
     exp = _experiment(root, p, "named")

@@ -7,6 +7,7 @@ import zipfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.helpers import TINY_CONFIG
 from videocad_tpu.data.synthetic import synthetic_batch_feed
@@ -24,6 +25,7 @@ def _artifact(tmp_path, batch=1, bucket=6):
     return config, model, params, out, meta
 
 
+@pytest.mark.slow
 def test_export_roundtrip_forward_and_rollout(tmp_path):
     config, model, params, out, meta = _artifact(tmp_path)
     assert meta["format_version"] == 3 and meta["has_rollout"]
@@ -57,6 +59,7 @@ def test_export_roundtrip_forward_and_rollout(tmp_path):
         np.asarray(jnp.argmax(live_roll[0], -1)))
 
 
+@pytest.mark.slow
 def test_multiview_export_carries_views_in_every_program(tmp_path):
     """A num_views config's forward/rollout/decode_init must consume the
     view stack (encode_cad_stream silently skips views when handed None,

@@ -7,9 +7,12 @@ body in a subprocess with the CPU platform + host device count forced
 before backend init; this test runs that exact path.
 """
 
+import pytest
+
 import __graft_entry__
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     # Raises on any failure (non-zero subprocess rc).
     __graft_entry__.dryrun_multichip(8)

@@ -137,6 +137,7 @@ def test_incremental_prepared_fused_equals_rollout():
                                np.asarray(batch_cmds), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_incremental_decode_under_mesh():
     """The serving step runs with batch-sharded inputs on a (data, model)
     mesh and still equals the batch rollout — serving scales the same way

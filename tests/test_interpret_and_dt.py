@@ -1,4 +1,5 @@
 """Decision transformer family, saliency, attention rollout, ETL converters."""
+import pytest
 
 import os
 
@@ -48,6 +49,7 @@ def test_decision_transformer_is_causal():
     assert not np.allclose(np.asarray(o1[:, 5:]), np.asarray(o2[:, 5:]))
 
 
+@pytest.mark.slow
 def test_cad_saliency_shapes_and_signal():
     model = create_model(dict(TINY_CONFIG))
     params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=2)

@@ -119,6 +119,7 @@ def test_dropout_changes_outputs_and_determinism():
     assert not np.allclose(np.asarray(det), np.asarray(tr))
 
 
+@pytest.mark.slow
 def test_resnet_encoder_mode():
     (cmds, _), _ = _forward({"encoder": "resnet"}, seq_len=4)
     assert cmds.shape == (2, 4, 5)

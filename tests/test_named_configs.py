@@ -128,6 +128,7 @@ def _smoke(cfg_dict):
 @pytest.mark.parametrize("fname,name", REF_CASES,
                          ids=[f"{f.removesuffix('.json')}:{n}"
                               for f, n in REF_CASES])
+@pytest.mark.slow
 def test_named_config_builds_and_trains(fname, name):
     cfg_dict = dict(_load(os.path.join(REPO_CONFIG_DIR, fname))[name],
                     **TINY_VISION)

@@ -163,6 +163,7 @@ def test_cli_guard_plain_over_gencad_store(store, tmp_path):
         _build_native_pipelines(args, {"train": None})
 
 
+@pytest.mark.slow
 def test_train_cli_native_loader_gencad_end_to_end(store, tmp_path,
                                                    monkeypatch):
     """The C++ loader drives a full use_pretrained_cad_model training run

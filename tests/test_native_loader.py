@@ -72,6 +72,7 @@ def test_native_pipeline_matches_python_pipeline(vcb_store):
         assert py_batch["ids"] == nat_batch["ids"]
 
 
+@pytest.mark.slow
 def test_train_cli_with_native_loader(vcb_store, tmp_path, monkeypatch):
     """End to end: the C++ loader drives a full training run via the CLI."""
     import json

@@ -159,6 +159,7 @@ def test_cli_guard_on_view_count_mismatch(mv_store, tmp_path):
         _build_native_pipelines(args, {"train": None}, view_ids=["05", "09"])
 
 
+@pytest.mark.slow
 def test_train_cli_native_loader_multiview_end_to_end(mv_store, tmp_path,
                                                       monkeypatch):
     """The C++ loader drives a full multiview training run via the CLI

@@ -46,6 +46,7 @@ def test_tp_rules_shard_decoder_kernels(setup):
     assert espec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_matches_single_device(setup):
     model, params, batch = setup
     rng = jax.random.PRNGKey(7)
@@ -74,6 +75,7 @@ def test_dp_tp_train_step_matches_single_device(setup):
     assert out_spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
 
 
+@pytest.mark.slow
 def test_hybrid_dcn_mesh_matches_single_device(setup):
     """Multi-slice layout: a (dcn=2, data=2, model=2) hybrid mesh — batch
     sharded jointly over (dcn, data), TP over model — produces the same
@@ -107,6 +109,7 @@ def test_hybrid_dcn_mesh_matches_single_device(setup):
     assert out_spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
 
 
+@pytest.mark.slow
 def test_pure_dp_mesh_runs(setup):
     model, params, batch = setup
     mesh = create_mesh(8, 1)
@@ -124,6 +127,7 @@ def test_shard_params_places_leaves(setup):
     assert leaf.sharding.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
 
 
+@pytest.mark.slow
 def test_block_kernels_under_dp_tp_mesh():
     """The fused block kernels (ops/fused_block.py) run under a dp x tp
     mesh: the pallas custom-calls have no partitioning rules, so XLA must

@@ -78,6 +78,7 @@ def _make_trainer(env, run, train_pipe=None, **config):
                    log_dir=os.path.join(root, run, "logs"))
 
 
+@pytest.mark.slow
 def test_sigterm_mid_epoch_saves_and_resumes(env):
     _root, pipes = env
     prev = signal.getsignal(signal.SIGTERM)

@@ -65,6 +65,7 @@ class TestQuantForward:
 
 class TestQuantTraining:
     @pytest.mark.parametrize("quant", ["int8", "int8_bwd"])
+    @pytest.mark.slow
     def test_train_step_runs_and_descends(self, quant):
         model = create_model(dict(TINY_CONFIG, quant=quant))
         params = init_model(model, jax.random.PRNGKey(0), batch=1, seq_len=4)

@@ -1,4 +1,5 @@
 """Rollout equivalence: KV-cached scan decode == reference prefix re-forwarding."""
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ def _setup(overrides=None, seq_len=6):
     return model, params, frames, cad
 
 
+@pytest.mark.slow
 def test_rollout_matches_naive_prefix_loop_with_actions():
     model, params, frames, cad = _setup()
     ref_cmds, ref_params = naive_sequential_inference(model, params, frames, cad)

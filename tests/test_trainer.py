@@ -52,6 +52,7 @@ def _make_trainer(env, tmpdir_name, **config):
                    log_dir=os.path.join(root, tmpdir_name, "logs"))
 
 
+@pytest.mark.slow
 def test_train_loop_and_metrics_logging(env):
     trainer = _make_trainer(env, "run1")
     params = trainer.train(epochs=2)
@@ -77,6 +78,7 @@ def test_latest_epoch_ignores_orbax_tmp_litter(tmp_path):
     assert handler.latest_epoch() == "epoch_2"
 
 
+@pytest.mark.slow
 def test_checkpoint_save_and_resume(env):
     trainer = _make_trainer(env, "run2")
     trainer.train(epochs=2)  # save_frequency=2 -> epoch_2 checkpoint
@@ -95,6 +97,7 @@ def test_checkpoint_save_and_resume(env):
     np.testing.assert_array_equal(np.asarray(mu_a), np.asarray(mu_b))
 
 
+@pytest.mark.slow
 def test_evaluate_and_sequential_evaluate(env):
     trainer = _make_trainer(env, "run3")
     metrics = trainer.evaluate(mode="val")
@@ -131,6 +134,7 @@ def test_find_first_mistake_structure(env):
     assert all(len(m) == 2 for m in bucket["Memory"]["cmd"])
 
 
+@pytest.mark.slow
 def test_early_stopping_accuracy_metric_not_poisoned_by_loss(env):
     """With metric='accuracy' (max mode), non-validation epochs must not
     feed the loss value into the best-metric tracking (regression: the
@@ -167,6 +171,7 @@ def test_pipeline_early_break_does_not_hang(env):
     assert threading.active_count() <= before + 1
 
 
+@pytest.mark.slow
 def test_early_stopping_triggers(env):
     trainer = _make_trainer(env, "run6",
                             early_stopping_enabled=True,
