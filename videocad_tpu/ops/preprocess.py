@@ -100,8 +100,17 @@ def grayscale_normalize(images: jnp.ndarray, bgr_as_rgb: bool = False,
     """
     channels = images.shape[-1]
     w = _weights(channels, bgr_as_rgb)
-    x = images.astype(jnp.float32)
-    gray = jnp.tensordot(x, w, axes=[[-1], [0]])
+    # Channel-unrolled weighted sum, NOT a tensordot: a reduce over the
+    # C=3 minor dim roots its own XLA fusion on TPU, so the full-frame
+    # f32 gray tensor materializes in HBM between that fusion and the
+    # normalize/bf16-cast epilogue (r5 trace, flagship shape: 0.93 ms
+    # multiply_reduce writing f32[8,191,224,224] + 0.77 ms add_convert
+    # re-reading it). Plain mul/adds keep the whole u8 -> gray ->
+    # normalize -> consumer-cast chain in one loop fusion.
+    gray = None
+    for c in range(channels):
+        term = images[..., c].astype(jnp.float32) * float(w[c])
+        gray = term if gray is None else gray + term
     if target_size is not None:
         gray = _resize_2d(gray, tuple(target_size))
     return (gray / 127.5 - 1.0)[..., None]
