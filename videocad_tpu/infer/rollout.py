@@ -97,6 +97,14 @@ def cast_decode_tree(tree, dtype):
         tree)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _quantize_for_decode_jit(params: Dict, dtype, bits: int) -> Dict:
+    out = dict(params)
+    out["decoder"] = fuse_self_qkv(
+        quantize_decode_weights(params["decoder"], dtype, bits))
+    return out
+
+
 def quantize_for_decode(params: Dict, dtype, bits: int = 8) -> Dict:
     """Full-params convenience for the incremental serving path: returns
     ``params`` with the decoder subtree intN-quantized (w8a16 / w4a16,
@@ -104,11 +112,16 @@ def quantize_for_decode(params: Dict, dtype, bits: int = 8) -> Dict:
     (:func:`fuse_self_qkv`); encoders, embeddings and heads stay full
     precision. Quantize ONCE per serving session, then drive
     ``incremental_decode_step`` with the result — quantizing per step
-    would re-stream the f32 weights and erase the HBM win."""
-    out = dict(params)
-    out["decoder"] = fuse_self_qkv(
-        quantize_decode_weights(params["decoder"], dtype, bits))
-    return out
+    would re-stream the f32 weights and erase the HBM win.
+
+    Runs as ONE compiled program rather than op-by-op: eager int4 ops on
+    the TPU backend are broken — the S4 concatenate in
+    :func:`fuse_self_qkv` sends eager dispatch into an infinite
+    ``device_put`` recursion when it commits the packed-layout operand
+    (jax 0.8 ``_array_shard_arg``) — and tracing sidesteps eager S4
+    entirely, exactly like the batch-rollout path, which quantizes
+    inside ``_rollout_jit`` and never hit this."""
+    return _quantize_for_decode_jit(params, jnp.dtype(dtype), int(bits))
 
 
 def prepare_for_decode(params: Dict, dtype) -> Dict:
